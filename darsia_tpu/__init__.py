@@ -1,0 +1,71 @@
+"""darsia_tpu — TPU-native Darcy-scale image analysis.
+
+A ground-up JAX/XLA/Pallas rebuild of the DarSIA capability set
+(physical-coordinate images, geometric & color corrections, TV restoration,
+signal models, image registration, finite-volume optimal transport) designed
+for TPU hardware: fused warp+color XLA programs, matrix-free stencil solvers,
+`shard_map` spatial parallelism over device meshes.
+
+The public namespace is flat (``darsia_tpu.imread``, ``darsia_tpu.Image``,
+...) mirroring the reference API so users can switch with an import change.
+"""
+
+from __future__ import annotations
+
+__version__ = "0.1.0"
+
+# ---- L0: utils / geometry
+from .utils.point import (
+    BasePoint,
+    Coordinate,
+    CoordinateArray,
+    Voxel,
+    VoxelArray,
+    VoxelCenter,
+    VoxelCenterArray,
+    make_coordinate,
+    make_voxel,
+    make_voxel_center,
+    to_coordinate,
+    to_voxel,
+    to_voxel_center,
+)
+from .utils.box import bounding_box, bounding_box_inverse, perimeter, random_patches
+from .utils.dtype import convert_dtype
+from .utils.formats import Format
+
+# ---- L1: image core
+from .image.indexing import (
+    interpret_indexing,
+    to_matrix_indexing,
+    to_cartesian_indexing,
+    matrixToCartesianIndexing,
+    cartesianToMatrixIndexing,
+)
+from .image.coordinatesystem import (
+    CoordinateSystem,
+    voxels_to_coordinates,
+    coordinates_to_voxels,
+)
+from .image.image import Image, ScalarImage, OpticalImage, ExtensiveImage
+from .image.imread import (
+    imread,
+    imread_from_bytes,
+    imread_from_numpy,
+    imread_from_npz,
+    imread_from_optical,
+    imread_from_dicom,
+    imread_from_vtu,
+)
+
+# ---- signals: reductions
+from .signals.reduction.dimensionreduction import (
+    AxisReduction,
+    reduce_axis,
+    extrude_along_axis,
+)
+
+# ---- ops (TPU compute primitives; exposed for power users)
+from .ops import color as color_ops
+from .ops import warp as warp_ops
+from .ops.resize import resize_array
