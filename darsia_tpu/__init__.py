@@ -65,6 +65,28 @@ from .signals.reduction.dimensionreduction import (
     extrude_along_axis,
 )
 
+# ---- L2: corrections
+from .corrections import (
+    BaseCorrection,
+    TypeCorrection,
+    read_correction,
+    extract_quadrilateral_ROI,
+    homography_from_points,
+    quad_coordinate_grid,
+    CurvatureCorrection,
+    BaseTransformation,
+    TransformationCorrection,
+    AffineTransformation,
+    AffineCorrection,
+    RotationCorrection,
+    TranslationEstimator,
+    TranslationCorrection,
+    DriftCorrection,
+    GeneralizedPerspectiveTransformation,
+    GeneralizedPerspectiveCorrection,
+    CORRECTION_REGISTRY,
+)
+
 # ---- ops (TPU compute primitives; exposed for power users)
 from .ops import color as color_ops
 from .ops import warp as warp_ops
