@@ -85,6 +85,44 @@ from .corrections import (
     GeneralizedPerspectiveTransformation,
     GeneralizedPerspectiveCorrection,
     CORRECTION_REGISTRY,
+    BaseBalance,
+    ColorBalance,
+    WhiteBalance,
+    AffineBalance,
+    AdaptiveBalance,
+    color_balance,
+    white_balance,
+    affine_balance,
+    ColorChecker,
+    ColorCheckerAfter2014,
+    CustomColorChecker,
+    ColorCorrection,
+    IlluminationCorrection,
+    PatchwiseIlluminationCorrection,
+    DynamicIlluminationCorrection,
+    RelativeColorCorrection,
+    EOTF,
+    ExperimentalColorCorrection,
+)
+
+# ---- L3: restoration (incrementally populated)
+from .restoration.resize import Resize, resize, equalize_voxel_size, uniform_refinement
+
+# ---- utils (analysis helpers)
+from .utils.kmeans import kmeans
+from .utils.interpolation import (
+    interpolate_to_image,
+    interpolate_to_image_from_csv,
+    interpolate_measurements_2d,
+    polynomial_interpolation,
+    illumination_interpolation,
+)
+from .utils.extractcharacteristicdata import extract_characteristic_data
+from .utils.approximations import (
+    ApproximationSpace,
+    PolynomialApproximationSpace,
+    RadialPolynomialApproximationSpace,
+    LinearApproximation,
 )
 
 # ---- ops (TPU compute primitives; exposed for power users)

@@ -17,7 +17,35 @@ from .shape.generalizedperspective import (
     GeneralizedPerspectiveCorrection,
 )
 
+from .color.colorbalance import (
+    BaseBalance,
+    ColorBalance,
+    WhiteBalance,
+    AffineBalance,
+    AdaptiveBalance,
+    color_balance,
+    white_balance,
+    affine_balance,
+)
+from .color.colorcorrection import (
+    ColorChecker,
+    ColorCheckerAfter2014,
+    CustomColorChecker,
+    ColorCorrection,
+)
+from .color.illuminationcorrection import IlluminationCorrection
+from .color.patchwiseilluminationcorrection import PatchwiseIlluminationCorrection
+from .color.dynamicilluminationcorrection import DynamicIlluminationCorrection
+from .color.relativecolorcorrection import RelativeColorCorrection
+from .color.experimentalcolorcorrection import EOTF, ExperimentalColorCorrection
+
 CORRECTION_REGISTRY = {
+    "ColorCorrection": ColorCorrection,
+    "IlluminationCorrection": IlluminationCorrection,
+    "PatchwiseIlluminationCorrection": PatchwiseIlluminationCorrection,
+    "DynamicIlluminationCorrection": DynamicIlluminationCorrection,
+    "RelativeColorCorrection": RelativeColorCorrection,
+    "ExperimentalColorCorrection": ExperimentalColorCorrection,
     "TypeCorrection": TypeCorrection,
     "CurvatureCorrection": CurvatureCorrection,
     "AffineCorrection": AffineCorrection,
