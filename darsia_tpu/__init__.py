@@ -58,11 +58,50 @@ from .image.imread import (
     imread_from_vtu,
 )
 
-# ---- signals: reductions
+# ---- L4: signals
 from .signals.reduction.dimensionreduction import (
     AxisReduction,
     reduce_axis,
     extrude_along_axis,
+)
+from .signals.reduction.signalreduction import SignalReduction, MonochromaticReduction
+from .signals.models.basemodel import Model, HeterogeneousModel
+from .signals.models.linearmodel import (
+    ScalingModel,
+    LinearModel,
+    HeterogeneousLinearModel,
+)
+from .signals.models.clipmodel import ClipModel
+from .signals.models.staticthresholdmodel import StaticThresholdModel
+from .signals.models.dynamicthresholdmodel import (
+    HistogrammBasedThresholding,
+    StandardOtsu,
+    TwoPeakHistogrammAnalysis,
+    GlobalMinTwoPeakHistogrammAnalysis,
+    OtsuTwoPeakHistogrammAnalysis,
+    DynamicThresholdModel,
+    otsu_threshold,
+)
+from .signals.models.kernelinterpolation import (
+    KernelInterpolation,
+    AdvancedKernelInterpolation,
+)
+from .signals.models.combinedmodel import CombinedModel
+from .signals.models.binarydataselector import (
+    BaseCriterion,
+    ValueCriterion,
+    RelativeValueCriterion,
+    TransformedValueCriterion,
+    GradientModulusCriterion,
+    CombinedCriterion,
+    BinaryDataSelector,
+)
+from .utils.kernels import BaseKernel, LinearKernel, GaussianKernel
+
+# ---- L5: analysis engines
+from .analysis.concentrationanalysis import (
+    ConcentrationAnalysis,
+    PriorPosteriorConcentrationAnalysis,
 )
 
 # ---- L2: corrections
@@ -105,8 +144,22 @@ from .corrections import (
     ExperimentalColorCorrection,
 )
 
-# ---- L3: restoration (incrementally populated)
+# ---- L3: restoration & solvers
 from .restoration.resize import Resize, resize, equalize_voxel_size, uniform_refinement
+from .restoration.tvd import TVD, tvd
+from .restoration.split_bregman_tvd import split_bregman_tvd
+from .restoration.h1_regularization import H1_regularization
+from .restoration.median import Median, median_filter
+from .restoration.binaryinpaint import (
+    BinaryRemoveSmallObjects,
+    BinaryFillHoles,
+    BinaryLocalConvexCover,
+)
+from .restoration.averaging import REV, VolumeAveraging, volume_average
+from .utils.linear_solvers import Solver, Jacobi, CG, MG
+from .utils.derivatives import backward_diff, forward_diff, laplace
+from .utils.andersonacceleration import AndersonAcceleration
+from .utils import morphology
 
 # ---- utils (analysis helpers)
 from .utils.kmeans import kmeans

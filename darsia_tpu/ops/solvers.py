@@ -1,0 +1,244 @@
+"""Matrix-free stencil solvers for ``mass*x - div(D grad x) = rhs``.
+
+TPU-native replacement for the reference solver stack
+(``src/darsia/utils/linear_solvers/*.py``) *and* its PETSc/pyamg backends:
+everything here is a pure jitted function built from stencil ops —
+`lax.fori_loop`/`lax.while_loop` control flow, no sparse matrices, no host
+round trips.  Geometric multigrid with Jacobi smoothing replaces AMG on
+these tensor-product grids.
+
+All functions operate on ``dim``-dimensional arrays; the heterogeneous
+coefficients may be scalars or arrays broadcastable to the image shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.derivatives import laplace
+
+__all__ = [
+    "neighbor_accumulation",
+    "jacobi_solve",
+    "cg_solve",
+    "mg_solve",
+    "build_coefficient_pyramid",
+]
+
+
+def neighbor_accumulation(x: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Sum of the 2*dim neighbors with edge replication (ghost copies)."""
+    out = jnp.zeros_like(x)
+    for ax in range(dim):
+        first = jnp.take(x, jnp.array([0]), axis=ax)
+        last = jnp.take(x, jnp.array([x.shape[ax] - 1]), axis=ax)
+        shifted_up = jnp.concatenate(
+            [first, lax.slice_in_dim(x, 0, x.shape[ax] - 1, axis=ax)], axis=ax
+        )
+        shifted_down = jnp.concatenate(
+            [lax.slice_in_dim(x, 1, x.shape[ax], axis=ax), last], axis=ax
+        )
+        out = out + shifted_up + shifted_down
+    return out
+
+
+def _operator(x, mass_coeff, diffusion_coeff, dim, h):
+    return mass_coeff * x - laplace(
+        x, dim=dim, h=h, diffusion_coeff=diffusion_coeff
+    )
+
+
+def operator_diagonal(mass_coeff, diffusion_coeff, shape, dim, h):
+    """Exact diagonal of ``mass*I - div(D grad)`` via 2-coloring.
+
+    For a nearest-neighbor stencil, applying the operator to the two
+    checkerboard indicator fields and masking recovers the exact diagonal —
+    including the boundary-closure corrections that a naive
+    ``mass + 2*dim*D/h^2`` formula misses (which would make Jacobi
+    inconsistent with the operator and stall multigrid at boundaries).
+    """
+    idx_sum = sum(
+        jax.lax.broadcasted_iota(jnp.int32, shape, d) for d in range(dim)
+    )
+    checker = (idx_sum % 2).astype(jnp.float32)
+    diag = jnp.zeros(shape, dtype=jnp.float32)
+    for color in (checker, 1.0 - checker):
+        diag = diag + color * _operator(color, mass_coeff, diffusion_coeff, dim, h)
+    return diag
+
+
+@functools.partial(jax.jit, static_argnames=("dim", "maxiter"))
+def jacobi_solve(
+    x0: jnp.ndarray,
+    rhs: jnp.ndarray,
+    mass_coeff,
+    diffusion_coeff,
+    dim: int = 2,
+    h: float = 1.0,
+    maxiter: int = 1,
+    omega: float = 0.8,
+) -> jnp.ndarray:
+    """Damped Jacobi sweeps in residual form (also the MG smoother).
+
+    Parity target: reference ``utils/linear_solvers/jacobi.py:14``.  Unlike
+    the reference's non-residual update (whose fixed point deviates from the
+    symmetrized Laplacian at boundaries), this iteration is consistent:
+    ``x <- x + omega * D^-1 (rhs - A x)`` with the exact stencil diagonal.
+    """
+    diag = operator_diagonal(mass_coeff, diffusion_coeff, x0.shape, dim, h)
+
+    def body(_, x):
+        residual = rhs - _operator(x, mass_coeff, diffusion_coeff, dim, h)
+        return x + omega * residual / diag
+
+    return lax.fori_loop(0, maxiter, body, x0)
+
+
+@functools.partial(jax.jit, static_argnames=("dim", "maxiter"))
+def cg_solve(
+    x0: jnp.ndarray,
+    rhs: jnp.ndarray,
+    mass_coeff,
+    diffusion_coeff,
+    dim: int = 2,
+    h: float = 1.0,
+    tol: float = 1e-8,
+    maxiter: int = 100,
+) -> jnp.ndarray:
+    """Conjugate gradients on the stencil operator (jitted while_loop)."""
+
+    def A(x):
+        return _operator(x, mass_coeff, diffusion_coeff, dim, h)
+
+    r0 = rhs - A(x0)
+    p0 = r0
+    rs0 = jnp.vdot(r0, r0)
+    rhs_norm_sq = jnp.maximum(jnp.vdot(rhs, rhs), 1e-30)
+
+    def cond(state):
+        _, _, _, rs, k = state
+        return jnp.logical_and(k < maxiter, rs > tol**2 * rhs_norm_sq)
+
+    def body(state):
+        x, r, p, rs, k = state
+        Ap = A(p)
+        alpha = rs / jnp.maximum(jnp.vdot(p, Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.vdot(r, r)
+        beta = rs_new / jnp.maximum(rs, 1e-30)
+        p = r + beta * p
+        return (x, r, p, rs_new, k + 1)
+
+    x, *_ = lax.while_loop(cond, body, (x0, r0, p0, rs0, 0))
+    return x
+
+
+def _restrict(x: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Coarsen by 2 per axis: average even/odd pairs, drop trailing odd."""
+    for ax in range(dim):
+        n = x.shape[ax]
+        even = lax.slice_in_dim(x, 0, n - 1 if n % 2 else n, 2, axis=ax)
+        odd = lax.slice_in_dim(x, 1, n, 2, axis=ax)
+        x = (even + odd) / 2
+    return x
+
+
+def _prolong(x: jnp.ndarray, target_shape: tuple[int, ...], dim: int) -> jnp.ndarray:
+    """Refine by 2 per axis (nearest repeat) and edge-pad to target shape."""
+    for ax in range(dim):
+        x = jnp.repeat(x, 2, axis=ax)
+    pads = [(0, 0)] * x.ndim
+    for ax in range(dim):
+        pads[ax] = (0, target_shape[ax] - x.shape[ax])
+    return jnp.pad(x, pads, mode="edge")
+
+
+def build_coefficient_pyramid(
+    coeff, shape: tuple[int, ...], dim: int, depth: int
+) -> list:
+    """Per-level restriction of a (possibly scalar) coefficient field."""
+    levels = [coeff]
+    for _ in range(depth):
+        if isinstance(coeff, jnp.ndarray) and coeff.ndim >= dim:
+            coeff = _restrict(coeff, dim)
+        levels.append(coeff)
+    return levels
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dim", "depth", "smoother_iterations", "maxiter")
+)
+def mg_solve(
+    x0: jnp.ndarray,
+    rhs: jnp.ndarray,
+    mass_pyramid: tuple,
+    diffusion_pyramid: tuple,
+    dim: int = 2,
+    h: float = 1.0,
+    depth: int = 2,
+    smoother_iterations: int = 5,
+    maxiter: int = 100,
+    tol: Optional[float] = None,
+) -> jnp.ndarray:
+    """Geometric multigrid V-cycles with Jacobi smoothing.
+
+    Parity: reference ``utils/linear_solvers/mg.py:13`` (same restriction /
+    prolongation / smoother layout), but fully jitted: the V-cycle recursion
+    unrolls at trace time into one XLA program; heterogeneous coefficients
+    are passed as precomputed per-level pyramids
+    (:func:`build_coefficient_pyramid`).
+    """
+
+    def smoother(x, b, level, hh, iters):
+        mass = mass_pyramid[level]
+        diff = diffusion_pyramid[level]
+        diag = operator_diagonal(mass, diff, x.shape, dim, hh)
+
+        def body(_, xx):
+            residual = b - _operator(xx, mass, diff, dim, hh)
+            return xx + 0.8 * residual / diag
+
+        return lax.fori_loop(0, iters, body, x)
+
+    def v_cycle(x, b, level, remaining_depth, hh):
+        x = smoother(x, b, level, hh, smoother_iterations)
+        r = b - _operator(
+            x, mass_pyramid[level], diffusion_pyramid[level], dim, hh
+        )
+        rc = _restrict(r, dim)
+        if remaining_depth == 0:
+            eps = smoother(
+                jnp.zeros_like(rc), rc, level + 1, 2 * hh, smoother_iterations
+            )
+        else:
+            eps = v_cycle(
+                jnp.zeros_like(rc), rc, level + 1, remaining_depth - 1, 2 * hh
+            )
+        x = x + _prolong(eps, x.shape, dim)
+        return smoother(x, b, level, hh, smoother_iterations)
+
+    if tol is None:
+        def body(_, x):
+            return v_cycle(x, rhs, 0, depth, h)
+
+        return lax.fori_loop(0, maxiter, body, x0)
+
+    x0_norm = jnp.maximum(jnp.linalg.norm(x0), 1e-30)
+
+    def cond(state):
+        x, prev, k = state
+        inc = jnp.linalg.norm(x - prev) / x0_norm
+        return jnp.logical_and(k < maxiter, jnp.logical_or(k == 0, inc >= tol))
+
+    def body(state):
+        x, _, k = state
+        return (v_cycle(x, rhs, 0, depth, h), x, k + 1)
+
+    x, *_ = lax.while_loop(cond, body, (x0, x0 + 1.0, 0))
+    return x

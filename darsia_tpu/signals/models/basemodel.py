@@ -1,0 +1,77 @@
+"""Model protocol: signal -> physical data conversion.
+
+Parity: reference ``src/darsia/signals/models/basemodel.py:16-92``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Model", "HeterogeneousModel"]
+
+
+class Model:
+    """Base model: callable on arrays or Images (same return type)."""
+
+    def __call__(self, img, *args):
+        if hasattr(img, "img"):
+            out = img.copy()
+            out.img = self.call_array(jnp.asarray(img.img), *args)
+            return out
+        return self.call_array(jnp.asarray(img), *args)
+
+    def call_array(self, signal: jnp.ndarray, *args) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def calibrate(self, *args, **kwargs) -> None:
+        raise NotImplementedError
+
+    def update_model_parameters(self, parameters: np.ndarray, dofs=None) -> None:
+        raise NotImplementedError
+
+
+class HeterogeneousModel(Model):
+    """Per-label model: applies a dedicated model within each label region.
+
+    TPU note: instead of boolean-masked in-place updates per label (reference
+    loop), each sub-model is evaluated on the full array and blended with
+    `jnp.where` — branch-free, fully fused.
+    """
+
+    def __init__(self, model, labels: np.ndarray, **kwargs) -> None:
+        import copy as _copy
+
+        self.labels = np.asarray(labels)
+        self.unique_labels = np.unique(self.labels)
+        self.num_labels = len(self.unique_labels)
+        self.models = [_copy.deepcopy(model) for _ in range(self.num_labels)]
+        self.num_parameters = sum(
+            getattr(m, "num_parameters", 0) for m in self.models
+        )
+
+    def call_array(self, signal: jnp.ndarray) -> jnp.ndarray:
+        labels = jnp.asarray(self.labels)
+        out = jnp.zeros_like(jnp.asarray(signal, dtype=jnp.float32))
+        for label, model in zip(self.unique_labels, self.models):
+            contribution = model.call_array(signal)
+            out = jnp.where(labels == label, contribution, out)
+        return out
+
+    def __getitem__(self, key):
+        return self.models[key]
+
+    def __setitem__(self, key, value):
+        self.models[key] = value
+
+    def keys(self):
+        return range(self.num_labels)
+
+    def update_model_parameters(self, parameters: np.ndarray, dofs=None) -> None:
+        offset = 0
+        for model in self.models:
+            n = getattr(model, "num_parameters", 0)
+            model.update_model_parameters(parameters[offset : offset + n], dofs)
+            offset += n

@@ -44,6 +44,5 @@ def convert_dtype(img, dtype) -> np.ndarray:
     if src_range is not None:
         out = out / src_range
     if dst_range is not None:
-        out = (out * dst_range).round() if isinstance(out, np.ndarray) else out * dst_range
-        out = out.clip(0, dst_range)
+        out = (out * dst_range).round().clip(0, dst_range)
     return out.astype(dtype)
