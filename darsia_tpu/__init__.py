@@ -103,6 +103,15 @@ from .analysis.concentrationanalysis import (
     ConcentrationAnalysis,
     PriorPosteriorConcentrationAnalysis,
 )
+from .analysis.translationanalysis import TranslationAnalysis
+from .analysis.imageregistration import (
+    DiffeomorphicImageRegistration,
+    MultiscaleDiffeomorphicImageRegistration,
+    ImageRegistration,
+)
+from .image.patches import Patches
+from .corrections.shape.piecewiseperspective import PiecewisePerspectiveTransform
+from .corrections.shape.deformation import DeformationCorrection
 
 # ---- L2: corrections
 from .corrections import (
@@ -177,6 +186,40 @@ from .utils.approximations import (
     RadialPolynomialApproximationSpace,
     LinearApproximation,
 )
+
+# ---- L6: measure / optimal transport
+from .utils.grid import Grid, generate_grid
+from .utils.fv import (
+    FVDivergence,
+    FVMass,
+    FVTangentialFaceReconstruction,
+    FVFullFaceReconstruction,
+    face_to_cell,
+    cell_to_face_average,
+)
+from .utils import quadrature
+from .utils.convergence_status import ConvergenceStatus
+from .measure.integration import (
+    Geometry,
+    WeightedGeometry,
+    ExtrudedGeometry,
+    PorousGeometry,
+    ExtrudedPorousGeometry,
+)
+from .measure.beckmann import (
+    L1Mode,
+    MobilityMode,
+    BeckmannProblem,
+    BeckmannNewtonSolver,
+    BeckmannBregmanSolver,
+    BeckmannGproxPGHDSolver,
+    BeckmannConvergenceCriteria,
+    BeckmannConvergenceHistory,
+)
+from .measure.emd import EMD
+from .measure.wasserstein import wasserstein_distance, wasserstein_distance_to_vtk
+from .utils import plotting
+from .utils.plotting import to_vtk
 
 # ---- ops (TPU compute primitives; exposed for power users)
 from .ops import color as color_ops

@@ -1,0 +1,193 @@
+"""Diffeomorphic image registration (single- and multiscale) + facade.
+
+Parity: reference
+``src/darsia/multi_image_analysis/imageregistration.py:17-673``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..image.image import Image
+from ..restoration.resize import Resize
+from .translationanalysis import TranslationAnalysis
+
+__all__ = [
+    "DiffeomorphicImageRegistration",
+    "MultiscaleDiffeomorphicImageRegistration",
+    "ImageRegistration",
+]
+
+
+class DiffeomorphicImageRegistration:
+    """Deformation detection between images (wraps TranslationAnalysis)."""
+
+    def __init__(self, img_dst: Image, **kwargs) -> None:
+        self.N_patches = kwargs.get("N_patches", [1, 1])
+        self.rel_overlap = kwargs.get("rel_overlap", 0.0)
+        self.translation_analysis = TranslationAnalysis(
+            img_dst,
+            N_patches=self.N_patches,
+            rel_overlap=self.rel_overlap,
+            mask=kwargs.get("mask_dst", None),
+            quality_tol=kwargs.get("quality_tol", 0.03),
+        )
+
+    def update_dst(self, img_dst: Image) -> None:
+        self.translation_analysis.update_base(img_dst)
+
+    def deduct(self, other: "DiffeomorphicImageRegistration") -> None:
+        self.translation_analysis.deduct_translation_analysis(
+            other.translation_analysis
+        )
+
+    def add(self, other: "DiffeomorphicImageRegistration") -> None:
+        self.translation_analysis.add_translation_analysis(
+            other.translation_analysis
+        )
+
+    def __call__(
+        self, img: Image, mask=None, return_transformed_dst: bool = False
+    ):
+        transformed = self.translation_analysis(img, mask=mask)
+        if return_transformed_dst:
+            dst = self.translation_analysis.translate_image(
+                self.translation_analysis.base, reverse=False
+            )
+            return transformed, dst
+        return transformed
+
+    def apply(self, img: Image, reverse: bool = True) -> Image:
+        """Apply the registered deformation to another image."""
+        return self.translation_analysis.translate_image(img, reverse=reverse)
+
+    def evaluate(self, points, units: str = "metric") -> np.ndarray:
+        """Displacement at given points ((x, y) pixel coordinates)."""
+        disp = np.asarray(
+            self.translation_analysis.translation(np.atleast_2d(points))
+        ).T
+        if units == "metric":
+            vs = self.translation_analysis.base.voxel_size
+            disp = np.stack([disp[:, 0] * vs[1], -disp[:, 1] * vs[0]], axis=1)
+        return disp
+
+
+class MultiscaleDiffeomorphicImageRegistration(DiffeomorphicImageRegistration):
+    """Coarse-to-fine registration accumulating deformations over levels.
+
+    Parity: reference ``imageregistration.py:309-489``.
+    """
+
+    def __init__(self, img_dst: Image, **kwargs) -> None:
+        super().__init__(img_dst, **kwargs)
+        self.num_levels = kwargs.get("num_levels", 3)
+        self.kwargs = kwargs
+        self.img_dst = img_dst
+
+    def __call__(self, img: Image, mask=None, return_transformed_dst: bool = False):
+        current = img
+        total_field = None
+        base_full = self.img_dst
+        H, W = base_full.num_voxels[:2]
+
+        for level in range(self.num_levels, 0, -1):
+            factor = 0.5 ** (level - 1)
+            if factor < 1.0:
+                resizer = Resize(fx=factor, fy=factor, interpolation="inter_area")
+                dst_level = resizer(base_full)
+                img_level = resizer(current)
+            else:
+                dst_level = base_full
+                img_level = current
+
+            analysis = TranslationAnalysis(
+                dst_level,
+                N_patches=self.N_patches,
+                rel_overlap=self.rel_overlap,
+                quality_tol=self.kwargs.get("quality_tol", 0.03),
+            )
+            analysis.load_image(img_level)
+            analysis.find_translation()
+            field = np.asarray(
+                analysis.displacement_field(tuple(dst_level.num_voxels[:2]))
+            )
+            # Upscale displacement field to full resolution (values scale too).
+            if factor < 1.0:
+                import jax
+
+                field = np.asarray(
+                    jax.image.resize(
+                        jnp.asarray(field), (2, H, W), method="linear"
+                    )
+                ) / factor
+            total_field = field if total_field is None else total_field + field
+
+            # Warp the running image by the accumulated field for next level.
+            from ..ops.warp import identity_grid, warp
+
+            coords = identity_grid((H, W)) - jnp.asarray(total_field)
+            data = jnp.asarray(img.img).astype(jnp.float32)
+            warped = warp(data, coords, order=1)
+            current = img.copy()
+            current.img = warped.astype(img.img.dtype)
+
+        self._total_field = total_field
+        self.translation_analysis = analysis  # expose last level
+        if return_transformed_dst:
+            return current, base_full
+        return current
+
+    def apply(self, img: Image, reverse: bool = True) -> Image:
+        from ..ops.warp import identity_grid, warp
+
+        assert self._total_field is not None, "Call registration first."
+        shape = tuple(img.num_voxels[:2])
+        sign = -1.0 if reverse else 1.0
+        coords = identity_grid(shape) + sign * jnp.asarray(self._total_field)
+        data = jnp.asarray(img.img).astype(jnp.float32)
+        out = img.copy()
+        out.img = warp(data, coords, order=1).astype(img.img.dtype)
+        return out
+
+
+class ImageRegistration:
+    """Facade for (multiscale) diffeomorphic image registration.
+
+    Parity: reference ``imageregistration.py:490-673``.
+    """
+
+    def __init__(self, img_dst: Image, **kwargs) -> None:
+        multiscale = kwargs.get("multiscale", kwargs.get("num_levels", 1) > 1)
+        if multiscale:
+            self._engine = MultiscaleDiffeomorphicImageRegistration(
+                img_dst, **kwargs
+            )
+        else:
+            self._engine = DiffeomorphicImageRegistration(img_dst, **kwargs)
+        self.img_dst = img_dst
+
+    def __call__(self, img: Image, mask=None) -> Image:
+        """Register img onto the destination image."""
+        return self._engine(img, mask=mask)
+
+    def apply(self, img: Image, reverse: bool = True) -> Image:
+        """Warp an arbitrary image by the registered deformation."""
+        return self._engine.apply(img, reverse=reverse)
+
+    def evaluate(self, points, units: str = "metric") -> np.ndarray:
+        """Sample the displacement field at points."""
+        return self._engine.evaluate(points, units=units)
+
+    def displacement(self) -> np.ndarray:
+        """Dense displacement field (2, H, W) in voxel units."""
+        shape = tuple(self.img_dst.num_voxels[:2])
+        if hasattr(self._engine, "_total_field") and getattr(
+            self._engine, "_total_field"
+        ) is not None:
+            return np.asarray(self._engine._total_field)
+        return np.asarray(
+            self._engine.translation_analysis.displacement_field(shape)
+        )

@@ -1,0 +1,58 @@
+"""Earth mover's distance via cv2.EMD signatures.
+
+Parity: reference ``src/darsia/measure/emd.py:15-263``.  The EMD itself is
+cv2's C++ implementation (host-side; used for validation and small images —
+the TPU path is the Beckmann solver family).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+__all__ = ["EMD"]
+
+
+class EMD:
+    """EMD between two images with identical total mass."""
+
+    def __init__(self, preprocess: Optional[Callable] = None, **kwargs) -> None:
+        self.preprocess = preprocess
+
+    def __call__(self, img_1, img_2) -> float:
+        import cv2
+
+        if self.preprocess is not None:
+            img_1 = self.preprocess(img_1)
+            img_2 = self.preprocess(img_2)
+        self._compatibility_check(img_1, img_2)
+
+        sig_1 = self._img_to_signature(img_1)
+        sig_2 = self._img_to_signature(img_2)
+        distance, _, _ = cv2.EMD(sig_1, sig_2, cv2.DIST_L2)
+        return float(distance)
+
+    def _compatibility_check(self, img_1, img_2) -> None:
+        assert img_1.space_dim == 2 and img_2.space_dim == 2
+        assert img_1.scalar and img_2.scalar
+        assert tuple(img_1.num_voxels) == tuple(img_2.num_voxels)
+        # Equal-mass check (weak, as in the reference).
+        sum_1 = float(np.sum(np.asarray(img_1.img)))
+        sum_2 = float(np.sum(np.asarray(img_2.img)))
+        if not np.isclose(sum_1, sum_2, rtol=1e-3):
+            raise ValueError("Images must have the same total mass.")
+
+    @staticmethod
+    def _img_to_signature(img) -> np.ndarray:
+        data = np.asarray(img.img, dtype=np.float32)
+        cs = img.coordinatesystem
+        rows, cols = np.nonzero(data)
+        values = data[rows, cols]
+        coords = np.asarray(
+            cs.coordinate(np.stack([rows, cols], axis=1))
+        ).astype(np.float32)
+        signature = np.concatenate(
+            [values[:, None].astype(np.float32), coords], axis=1
+        )
+        return signature

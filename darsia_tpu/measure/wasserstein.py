@@ -1,0 +1,74 @@
+"""Unified Wasserstein distance interface.
+
+Parity: reference ``src/darsia/measure/wasserstein.py:11-92``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Literal, Optional
+
+from ..utils.grid import generate_grid
+from .beckmann import (
+    BeckmannBregmanSolver,
+    BeckmannGproxPGHDSolver,
+    BeckmannNewtonSolver,
+)
+from .emd import EMD
+
+__all__ = ["wasserstein_distance", "wasserstein_distance_to_vtk"]
+
+
+def wasserstein_distance(
+    mass_src,
+    mass_dst,
+    method: Literal["newton", "bregman", "gprox", "cv2.emd"] = "newton",
+    weight=None,
+    **kwargs,
+):
+    """Wasserstein-1 distance between two equal-mass images.
+
+    Args:
+        mass_src / mass_dst: source/destination distributions (scalar Images).
+        method: "newton" | "bregman" | "gprox" (TPU finite-volume solvers) or
+            "cv2.emd" (host validation path).
+        weight: optional cell weight image (anisotropic metric).
+        kwargs: ``options`` dict for the FV solvers.
+
+    """
+    method_name = method.lower()
+    if method_name in ("newton", "bregman", "gprox"):
+        grid = generate_grid(mass_dst)
+        options = kwargs.get("options", {})
+        if method_name == "newton":
+            w1 = BeckmannNewtonSolver(grid, weight, options)
+        elif method_name == "bregman":
+            w1 = BeckmannBregmanSolver(grid, weight, options)
+        else:
+            w1 = BeckmannGproxPGHDSolver(grid, weight, options)
+    elif method_name == "cv2.emd":
+        assert weight is None, "Weighted EMD not supported by cv2."
+        w1 = EMD(kwargs.get("preprocess"))
+    else:
+        raise NotImplementedError(f"Method {method_name} not implemented.")
+    return w1(mass_src, mass_dst)
+
+
+def wasserstein_distance_to_vtk(path: Path, info: dict) -> None:
+    """Export a Wasserstein info dict to a legacy VTK file."""
+    from ..utils.formats import Format
+    from ..utils.plotting import to_vtk
+
+    data = [
+        (key, info[key], fmt)
+        for key, fmt in [
+            ("src", Format.SCALAR),
+            ("dst", Format.SCALAR),
+            ("mass_diff", Format.SCALAR),
+            ("flux", Format.VECTOR),
+            ("weighted_flux", Format.VECTOR),
+            ("pressure", Format.SCALAR),
+            ("transport_density", Format.SCALAR),
+        ]
+    ]
+    to_vtk(path, data)

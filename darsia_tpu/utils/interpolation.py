@@ -13,6 +13,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Literal
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,7 +49,7 @@ def rbf_interpolate(
         smoothing: Tikhonov smoothing on the kernel diagonal.
 
     """
-    P = jnp.asarray(points, dtype=jnp.float64 if jnp.array(0.0).dtype == jnp.float64 else jnp.float32)
+    P = jnp.asarray(points, dtype=jnp.float32)
     v = jnp.asarray(values, dtype=P.dtype)
     n = P.shape[0]
     # Kernel matrix + linear polynomial tail (1, x, y).
@@ -62,9 +63,28 @@ def rbf_interpolate(
     sol = jnp.linalg.solve(A, rhs)
     w, c = sol[:n], sol[n:]
 
+    # Chunked evaluation with the matmul distance trick — avoids
+    # materializing a (num_query, num_centers, 2) broadcast (an HBM blowup
+    # for megapixel queries).
     Q = jnp.asarray(query, dtype=P.dtype)
-    qdists = jnp.linalg.norm(Q[:, None, :] - P[None, :, :], axis=-1)
-    return _tps_kernel(qdists) @ w + c[0] + Q @ c[1:]
+    p_sq = jnp.sum(P * P, axis=-1)[None, :]
+
+    def eval_block(Qb):
+        q_sq = jnp.sum(Qb * Qb, axis=-1, keepdims=True)
+        cross = jnp.matmul(Qb, P.T, precision="highest")
+        d2 = jnp.maximum(q_sq - 2.0 * cross + p_sq, 0.0)
+        r = jnp.sqrt(d2)
+        return _tps_kernel(r) @ w + c[0] + Qb @ c[1:]
+
+    m = Q.shape[0]
+    block = 1 << 18  # 256k queries per block
+    if m <= block:
+        return eval_block(Q)
+    num_blocks = -(-m // block)
+    padded = jnp.pad(Q, ((0, num_blocks * block - m), (0, 0)))
+    blocks = padded.reshape(num_blocks, block, Q.shape[1])
+    out = jax.lax.map(eval_block, blocks)
+    return out.reshape(-1)[:m]
 
 
 def polynomial_design_matrix(coords: np.ndarray, degree: int) -> np.ndarray:

@@ -1,0 +1,51 @@
+"""Gauss quadrature on reference cells/faces.
+
+Parity: reference ``src/darsia/utils/quadrature.py:1-521`` (tabulated Gauss
+rules) — here generated from ``numpy.polynomial.legendre.leggauss`` tensor
+products: ``order`` p uses p+1 points per axis (matching the reference's
+order labelling); "max" maps to order 4/3/2 in 1d/2d/3d as in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import numpy as np
+
+__all__ = ["gauss", "gauss_reference_cell", "reference_cell_corners"]
+
+_MAX_ORDER = {1: 4, 2: 3, 3: 2}
+
+
+def gauss(dim: int, order: Union[int, str]) -> tuple[np.ndarray, np.ndarray]:
+    """Gauss points/weights on [-1, 1]^dim (tensor product)."""
+    if order == "max":
+        order = _MAX_ORDER[dim]
+    pts_1d, w_1d = np.polynomial.legendre.leggauss(int(order) + 1)
+    if dim == 1:
+        return pts_1d, w_1d
+    grids = np.meshgrid(*([pts_1d] * dim), indexing="ij")
+    pts = np.stack([g.ravel() for g in grids], axis=1)
+    wgrids = np.meshgrid(*([w_1d] * dim), indexing="ij")
+    weights = np.prod(np.stack([w.ravel() for w in wgrids], axis=1), axis=1)
+    return pts, weights
+
+
+def gauss_reference_cell(dim: int, order: Union[int, str]):
+    """Quadrature on the unit cube [0, 1]^dim, weights normalized to 1."""
+    pts, weights = gauss(dim, order)
+    pts = (np.atleast_2d(pts).reshape(-1, dim) + 1.0) / 2.0
+    weights = weights / np.sum(weights)
+    return pts, weights
+
+
+def reference_cell_corners(dim: int):
+    """Corners of the unit cube with uniform weights."""
+    from itertools import product
+
+    corners = np.array(list(product([0.0, 1.0], repeat=dim)))
+    if dim == 2:
+        # Match the reference's corner ordering (counter-clockwise).
+        corners = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    weights = np.ones(len(corners)) / len(corners)
+    return corners, weights

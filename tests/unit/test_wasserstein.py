@@ -1,0 +1,131 @@
+"""Wasserstein distance tests against the reference's hardcoded anchor.
+
+Mirrors reference tests/unit/test_wasserstein.py: 10x10 two-squares problem
+with reference distance 0.379543951823, parametrized over solvers.
+"""
+
+import numpy as np
+import pytest
+
+import darsia_tpu as da
+
+TRUE_DISTANCE = 0.379543951823
+
+
+def _problem():
+    rows = cols = 10
+    src = np.zeros((rows, cols))
+    src[2:5, 2:5] = 1
+    dst = np.zeros((rows, cols))
+    dst[1:3, 1:2] = 1
+    dst[4:7, 7:9] = 1
+    meta = {"width": 1, "height": 1, "space_dim": 2, "scalar": True}
+    src_img = da.Image(src, **meta)
+    dst_img = da.Image(dst, **meta)
+    geometry = da.Geometry(**src_img.shape_metadata())
+    src_img.img = np.asarray(src_img.img) / geometry.integrate(src_img)
+    dst_img.img = np.asarray(dst_img.img) / geometry.integrate(dst_img)
+    return src_img, dst_img
+
+
+OPTIONS = {
+    "l1_mode": da.L1Mode.CONSTANT_CELL_PROJECTION,
+    "mobility_mode": da.MobilityMode.FACE_BASED,
+    "num_iter": 400,
+    "tol_residual": 1e-3,
+    "tol_increment": 1e-3,
+    "tol_distance": 1e-3,
+    "return_info": True,
+}
+
+
+@pytest.mark.parametrize("mobility", [da.MobilityMode.FACE_BASED, da.MobilityMode.CELL_BASED])
+def test_newton(mobility):
+    src_img, dst_img = _problem()
+    options = dict(OPTIONS)
+    options["mobility_mode"] = mobility
+    options["L"] = 1e9
+    distance, info = da.wasserstein_distance(
+        src_img, dst_img, options=options, method="newton"
+    )
+    assert np.isclose(distance, TRUE_DISTANCE, rtol=1e-2)
+
+
+def test_std_bregman():
+    src_img, dst_img = _problem()
+    options = dict(OPTIONS)
+    options["L"] = 1.0
+    distance, info = da.wasserstein_distance(
+        src_img, dst_img, options=options, method="bregman"
+    )
+    assert np.isclose(distance, TRUE_DISTANCE, rtol=1e-2)
+
+
+def test_adaptive_bregman():
+    src_img, dst_img = _problem()
+    options = dict(OPTIONS)
+    options["L"] = 1.0
+    options["bregman_update"] = lambda it: it % 20 == 0
+    distance, info = da.wasserstein_distance(
+        src_img, dst_img, options=options, method="bregman"
+    )
+    assert np.isclose(distance, TRUE_DISTANCE, rtol=1e-2)
+
+
+def test_gprox():
+    src_img, dst_img = _problem()
+    options = {
+        "l1_mode": da.L1Mode.RAVIART_THOMAS,
+        "num_iter": 400,
+        "tol_increment": 1e-5,
+        "tol_distance": 1e-5,
+        "return_info": True,
+    }
+    distance, info = da.wasserstein_distance(
+        src_img, dst_img, options=options, method="gprox"
+    )
+    assert np.isclose(distance, TRUE_DISTANCE, rtol=5e-2)
+
+
+def test_cv2_emd():
+    src_img, dst_img = _problem()
+    distance = da.wasserstein_distance(src_img, dst_img, method="cv2.emd")
+    assert np.isclose(distance, TRUE_DISTANCE, rtol=1e-2)
+
+
+def test_newton_weighted():
+    """Weighted W1: doubling the metric doubles the distance."""
+    src_img, dst_img = _problem()
+    weight = da.ScalarImage(
+        2.0 * np.ones((10, 10), dtype=np.float32), width=1, height=1
+    )
+    options = dict(OPTIONS)
+    options["L"] = 1e9
+    d_w, _ = da.wasserstein_distance(
+        src_img, dst_img, weight=weight, options=options, method="newton"
+    )
+    assert np.isclose(d_w, 2 * TRUE_DISTANCE, rtol=2e-2)
+
+
+def test_grid_and_fv_operators():
+    grid = da.Grid((3, 4), [0.5, 0.25])
+    assert grid.num_cells == 12
+    assert grid.num_faces_per_axis == [8, 9]
+    # Divergence of a constant flux field is zero in the interior.
+    flat = np.ones(grid.num_faces)
+    div = da.FVDivergence(grid).mat @ flat
+    div_grid = div.reshape(grid.shape, order="F")
+    assert np.allclose(div_grid[1:-1, 1:-1], 0.0)
+    # face_to_cell averaging of unit fluxes -> unit vectors in the interior.
+    cell_flux = da.face_to_cell(grid, flat)
+    assert np.allclose(cell_flux[1:-1, 1:-1], 1.0)
+
+
+def test_geometry_integration():
+    arr = np.ones((10, 20))
+    geometry = da.Geometry(space_dim=2, num_voxels=(10, 20), dimensions=[1.0, 2.0])
+    assert np.isclose(geometry.integrate(arr), 2.0)
+    porous = da.PorousGeometry(
+        0.5 * np.ones((10, 20)), 2, (10, 20), [1.0, 2.0]
+    )
+    assert np.isclose(porous.integrate(arr), 1.0)
