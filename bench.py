@@ -1,0 +1,254 @@
+"""Benchmark: full corrected+registered+concentration pipeline on a 4K image.
+
+Measures the steady-state per-image throughput of the production hot loop
+(SURVEY §3.2: the time-series analysis pipeline) on one TPU chip:
+
+  uint8 4K image -> color balance (matmul) -> curvature warp (gather)
+  -> patch registration (128x vmapped FFT phase correlation + prefactored
+  TPS-RBF displacement solve + warp) -> baseline diff -> monochromatic
+  reduction -> 10 damped-Jacobi restoration sweeps -> linear model.
+
+Everything per-image is ONE jitted XLA program; setup (calibration, grid
+precompute, RBF factorization) is excluded, as in production.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the BASELINE.md north-star target of 200 Mpix/s on one v5e chip
+(the reference itself publishes no numbers and runs single-core CPU).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+IMAGE_PATH = Path("/root/reference/examples/images/baseline.jpg")
+TARGET_MPIX_S = 200.0
+
+
+def _load_image() -> np.ndarray:
+    if IMAGE_PATH.exists():
+        import cv2
+
+        arr = cv2.imread(str(IMAGE_PATH), cv2.IMREAD_UNCHANGED)
+        return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+    rng = np.random.default_rng(0)
+    return (rng.random((1788, 3180, 3)) * 255).astype(np.uint8)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from darsia_tpu.corrections.shape.curvature import CurvatureCorrection
+    from darsia_tpu.ops.color import rgb_to_gray
+    from darsia_tpu.ops.fft import phase_correlation
+    from darsia_tpu.ops.pallas.warp2pass import warp_two_pass
+    from darsia_tpu.ops.solvers import jacobi_solve
+    from darsia_tpu.ops.warp import identity_grid, warp
+    from darsia_tpu.utils.interpolation import _tps_kernel
+
+    base_u8 = _load_image()
+    H, W = base_u8.shape[:2]
+    mpix = H * W / 1e6
+
+    # ---- Setup (excluded from timing) ------------------------------------
+    # Curvature correction grid from the example config geometry.
+    curv = CurvatureCorrection(
+        config={
+            "crop": {
+                "pts_src": [[8, 11], [H - 33, 16], [H - 40, W - 15], [5, W - 15]],
+                "width": 2.8,
+                "height": 1.5,
+            },
+            "bulge": {
+                "horizontal_bulge": -1e-9,
+                "vertical_bulge": -2.7e-8,
+                "vertical_center_offset": -31,
+            },
+        }
+    )
+    curv._precompute_transformed_coordinates((H, W))
+    curvature_grid = jnp.asarray(curv.cache["grid"], dtype=jnp.float32)
+    out_shape = tuple(int(s) for s in curv.cache["shape"])
+    OH, OW = out_shape
+
+    balance = jnp.asarray(
+        np.array(
+            [[1.04, 0.01, 0.0], [0.0, 1.02, 0.01], [0.01, 0.0, 1.05]],
+            dtype=np.float32,
+        )
+    )
+
+    # Registration geometry: patch grid + windows + prefactored TPS system.
+    NP_I, NP_J = 8, 16
+    pv = (int(np.ceil(OH / NP_I)), int(np.ceil(OW / NP_J)))
+    # Power-of-two windows: radically faster FFTs than arbitrary sizes.
+    win = (256, 256)
+    centers = np.array(
+        [
+            [
+                min(int((i + 0.5) * pv[0]), OH - 1),
+                min(int((j + 0.5) * pv[1]), OW - 1),
+            ]
+            for i in range(NP_I)
+            for j in range(NP_J)
+        ],
+        dtype=np.int32,
+    )
+    centers_xy = np.stack([centers[:, 1], centers[:, 0]], axis=1).astype(
+        np.float32
+    )
+    # Boundary condition points (zero displacement), as in TranslationAnalysis.
+    bc = []
+    for y in np.linspace(0, OH, NP_I + 1):
+        bc.append([0.0, y])
+        bc.append([float(OW), y])
+    for x in np.linspace(0, OW, NP_J + 1):
+        bc.append([x, float(OH)])
+    bc = np.unique(np.array(bc, dtype=np.float32), axis=0)
+    pts = np.concatenate([centers_xy, bc], axis=0)
+    n_pts = pts.shape[0]
+
+    # Prefactor the TPS system: per image the weights are Ainv @ values.
+    d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        K = np.where(d > 0, d * d * np.log(np.where(d > 0, d, 1.0)), 0.0)
+    poly = np.concatenate([np.ones((n_pts, 1)), pts], axis=1)
+    A = np.block([[K, poly], [poly.T, np.zeros((3, 3))]])
+    Ainv = jnp.asarray(np.linalg.inv(A), dtype=jnp.float32)
+
+    centers_dev = jnp.asarray(centers)
+    pts_dev = jnp.asarray(pts)
+    p_sq = jnp.sum(pts_dev * pts_dev, axis=-1)[None, :]
+
+    # Coarse query grid for the TPS displacement evaluation — the field is
+    # smooth by construction, so evaluate at ~1/16 resolution and bilinearly
+    # upsample (256x fewer transcendental kernel evaluations).
+    CH, CW = (OH + 15) // 16, (OW + 15) // 16
+    rows, cols = np.meshgrid(
+        np.linspace(0, OH - 1, CH, dtype=np.float32),
+        np.linspace(0, OW - 1, CW, dtype=np.float32),
+        indexing="ij",
+    )
+    query = jnp.asarray(
+        np.stack([cols.ravel(), rows.ravel()], axis=1), dtype=jnp.float32
+    )
+    id_grid = identity_grid((OH, OW))
+
+    limits = jnp.array([OH - win[0], OW - win[1]], dtype=jnp.int32)
+
+    def extract_windows(gray):
+        def get(c):
+            start = jnp.clip(c - jnp.array(win, dtype=jnp.int32) // 2, 0, limits)
+            return lax.dynamic_slice(gray, (start[0], start[1]), win)
+
+        return jax.vmap(get)(centers_dev)
+
+    def rbf_weights(values):
+        rhs = jnp.concatenate([values, jnp.zeros(3, dtype=jnp.float32)])
+        return Ainv @ rhs
+
+    def eval_displacement(wx, wy):
+        # TPS kernel matmul on the coarse grid, bilinear upsample to full.
+        q_sq = jnp.sum(query * query, axis=-1, keepdims=True)
+        cross = jnp.matmul(query, pts_dev.T, precision="highest")
+        r = jnp.sqrt(jnp.maximum(q_sq - 2 * cross + p_sq, 0.0))
+        Kq = _tps_kernel(r)
+        dx = (Kq @ wx[:n_pts] + wx[n_pts] + query @ wx[n_pts + 1 :]).reshape(
+            CH, CW
+        )
+        dy = (Kq @ wy[:n_pts] + wy[n_pts] + query @ wy[n_pts + 1 :]).reshape(
+            CH, CW
+        )
+        dxy = jax.image.resize(
+            jnp.stack([dy, dx]), (2, OH, OW), method="linear"
+        )
+        return dxy[1], dxy[0]
+
+    # Static displacement bound of the curvature grid (pallas warp).
+    id_in = identity_grid((OH, OW))
+    curv_disp = int(np.ceil(float(jnp.max(jnp.abs(curvature_grid - id_in))))) + 1
+
+    def step(img_u8, base_windows, base_corrected):
+        img = img_u8.astype(jnp.float32) / 255.0
+        balanced = jnp.matmul(img, balance, precision="highest")
+        corrected = warp_two_pass(balanced, curvature_grid, curv_disp)
+
+        # Registration: batched phase correlation vs baseline windows.
+        gray = rgb_to_gray(corrected)
+        windows = extract_windows(gray)
+        shifts, quality = jax.vmap(phase_correlation)(windows, base_windows)
+        accept = (quality > 0.02)[:, None]
+        shifts = jnp.where(accept, shifts, 0.0)
+        vx = jnp.concatenate(
+            [shifts[:, 1], jnp.zeros(bc.shape[0], dtype=jnp.float32)]
+        )
+        vy = jnp.concatenate(
+            [shifts[:, 0], jnp.zeros(bc.shape[0], dtype=jnp.float32)]
+        )
+        wx = rbf_weights(vx)
+        wy = rbf_weights(vy)
+        dx, dy = eval_displacement(wx, wy)
+        dx = jnp.clip(dx, -120.0, 120.0)
+        dy = jnp.clip(dy, -120.0, 120.0)
+        coords = id_grid + jnp.stack([-dy, -dx], axis=0)
+        registered = warp_two_pass(corrected, coords, 128)
+
+        # Concentration pipeline.
+        diff = jnp.clip(registered - base_corrected, 0.0, None)
+        signal = rgb_to_gray(diff)
+        restored = jacobi_solve(signal, signal, 1.0, 0.2, dim=2, maxiter=10)
+        return 2.0 * restored
+
+    step_jit = jax.jit(step)
+
+    # Baseline-side precomputation.
+    base_dev = jnp.asarray(base_u8)
+    id_in = identity_grid((OH, OW))
+    curv_disp0 = int(np.ceil(float(jnp.max(jnp.abs(curvature_grid - id_in))))) + 1
+    base_corrected = warp_two_pass(
+        jnp.matmul(
+            base_dev.astype(jnp.float32) / 255.0, balance, precision="highest"
+        ),
+        curvature_grid,
+        curv_disp0,
+    )
+    base_windows = extract_windows(rgb_to_gray(base_corrected))
+    base_windows.block_until_ready()
+
+    # Probe image: perturbed baseline (keeps registration honest).
+    probe = np.roll(base_u8, shift=(2, 3), axis=(0, 1))
+    probe_dev = jnp.asarray(probe)
+
+    # ---- Timing -----------------------------------------------------------
+    out = step_jit(probe_dev, base_windows, base_corrected)
+    out.block_until_ready()  # compile + warmup
+    reps = 10
+    tic = time.perf_counter()
+    for _ in range(reps):
+        out = step_jit(probe_dev, base_windows, base_corrected)
+    out.block_until_ready()
+    elapsed = (time.perf_counter() - tic) / reps
+
+    mpix_s = mpix / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "Mpix/s corrected+registered+concentration (4K image)",
+                "value": round(mpix_s, 2),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix_s / TARGET_MPIX_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

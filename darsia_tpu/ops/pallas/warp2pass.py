@@ -1,0 +1,172 @@
+"""Pallas two-pass separable warp — Mosaic lane gathers instead of XLA gather.
+
+THE hot kernel of the framework: geometric corrections, registration warps,
+and drift alignment all resample a 4K image at a smooth coordinate field.
+XLA lowers that to scalarized gathers (~140 ms for a 3-channel 5.4 Mpix
+bilinear warp on v5e); this kernel runs the same resampling as VPU
+dynamic-gathers over VMEM tiles (~10 ms), exploiting:
+
+1. **Bounded displacement** |coords - identity| <= D (static per warp);
+2. **Smoothness** — the Catmull-Smith two-pass factorization (resample
+   along rows, then along columns) is accurate to O(|d|*|grad d|) pixels,
+   fractions of a pixel for correction/registration fields.
+
+Mosaic's lane gather (`take_along_axis`) works within a single 128-lane
+vreg, so each output tile selects among k = O(D/128) shifted 128-wide
+windows of the padded input — all loaded as aligned VMEM blocks via the
+pallas pipeline (no host-side window copies).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["warp_rows_pallas", "warp_two_pass"]
+
+_BR = 16  # rows per tile
+_BC = 128  # output columns per tile == lane width
+
+
+def _row_warp_kernel(rel_ref, frac_ref, *refs, num_windows: int):
+    """out[r, c] = lerp(window_chain[rel[r, c]], window_chain[rel+1], frac).
+
+    The window chain is ``num_windows`` consecutive 128-wide blocks of the
+    padded input; each gather stays within one vreg-width window and the
+    results are masked together.
+    """
+    win_refs = refs[:num_windows]
+    out_ref = refs[num_windows]
+    rel = rel_ref[:]
+    frac = frac_ref[:]
+
+    def chain_gather(rel_idx):
+        acc = jnp.zeros(rel_idx.shape, dtype=jnp.float32)
+        window_id = rel_idx // _BC
+        local = rel_idx - window_id * _BC
+        local = jnp.clip(local, 0, _BC - 1)
+        for w in range(num_windows):
+            g = jnp.take_along_axis(win_refs[w][:], local, axis=1)
+            acc = jnp.where(window_id == w, g, acc)
+        return acc
+
+    v0 = chain_gather(rel)
+    v1 = chain_gather(rel + 1)
+    out_ref[:] = v0 + frac * (v1 - v0)
+
+
+def warp_rows_pallas(
+    data: jnp.ndarray, cols: jnp.ndarray, max_disp: int
+) -> jnp.ndarray:
+    """Resample along the last axis: out[r, j] = data[r, cols[r, j]].
+
+    Args:
+        data: (R, W_in) float32 (channels/batch folded into rows).
+        cols: (R, W_out) fractional column sample positions with
+            |cols[r, j] - j| <= max_disp (output and input column frames
+            aligned at index 0).
+        max_disp: static displacement bound.
+
+    """
+    R, W_in = data.shape
+    W_out = cols.shape[1]
+    assert cols.shape[0] == R, "data and cols must agree on rows"
+    D = int(np.ceil(max_disp)) + 1
+    P = _BC * (-(-D // _BC))  # left pad, multiple of the lane width
+    num_windows = -(-(_BC + D + P + 2) // _BC)
+
+    R_pad = -(-R // _BR) * _BR
+    Wo_pad = -(-W_out // _BC) * _BC
+    num_tiles = Wo_pad // _BC
+
+    # Padded input: col p maps to original col p - P; right pad so the last
+    # tile's window chain is in range.
+    right = (num_tiles - 1 + num_windows) * _BC - P - W_in
+    padded = jnp.pad(
+        data, ((0, R_pad - R), (P, max(right, 0))), mode="edge"
+    )
+
+    # Window-chain-relative index: rel = clamp(cols) + P - t*BC.
+    cols_p = jnp.pad(cols, ((0, R_pad - R), (0, Wo_pad - W_out)), mode="edge")
+    cols_cl = jnp.clip(cols_p, 0.0, W_in - 1.0)
+    tile_start = (
+        lax.broadcasted_iota(jnp.int32, (R_pad, Wo_pad), 1) // _BC
+    ) * _BC
+    rel_f = cols_cl + P - tile_start.astype(jnp.float32)
+    base = jnp.floor(rel_f)
+    frac = (rel_f - base).astype(jnp.float32)
+    rel = jnp.clip(base, 0, num_windows * _BC - 2).astype(jnp.int32)
+
+    in_specs = [
+        pl.BlockSpec((_BR, _BC), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_BR, _BC), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+    ]
+    for w in range(num_windows):
+        in_specs.append(
+            pl.BlockSpec(
+                (_BR, _BC),
+                functools.partial(lambda i, j, w=w: (i, j + w)),
+                memory_space=pltpu.VMEM,
+            )
+        )
+
+    # Interpret mode on non-TPU backends (tests on the CPU mesh).
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_row_warp_kernel, num_windows=num_windows),
+        out_shape=jax.ShapeDtypeStruct((R_pad, Wo_pad), jnp.float32),
+        grid=(R_pad // _BR, num_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (_BR, _BC), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(rel, frac, *([padded] * num_windows))
+    return out[:R, :W_out]
+
+
+def warp_two_pass(
+    data: jnp.ndarray, coords: jnp.ndarray, max_disp: int
+) -> jnp.ndarray:
+    """Two-pass separable warp of a (H, W[, C]) image.
+
+    Args:
+        data: (H, W) or (H, W, C) float32.
+        coords: (2, H, W) pull-back sampling positions (row, col).
+        max_disp: static bound on |coords - identity|.
+
+    Returns:
+        Array shaped like ``data``.
+
+    """
+    squeeze = data.ndim == 2
+    if squeeze:
+        data = data[..., None]
+    H, W, C = data.shape
+    OH, OW = coords.shape[1:]
+
+    # Pass 1: columns, on INPUT rows. The column field is indexed by output
+    # rows; re-index by (clamped) input rows — exact when OH == H, a
+    # smoothness-order approximation otherwise (Catmull-Smith).
+    cols_field = coords[1]
+    if OH != H:
+        row_ids = jnp.clip(jnp.arange(H), 0, OH - 1)
+        cols_field = cols_field[row_ids]
+    planar = jnp.moveaxis(data, -1, 0).reshape(C * H, W)
+    cols_rep = jnp.tile(cols_field, (C, 1))
+    tmp = warp_rows_pallas(planar, cols_rep, max_disp)  # (C*H, OW)
+
+    # Pass 2: rows. Transpose to gather along the minor axis again.
+    tmp_t = jnp.swapaxes(tmp.reshape(C, H, OW), 1, 2).reshape(C * OW, H)
+    rows_rep = jnp.tile(jnp.swapaxes(coords[0], 0, 1), (C, 1))  # (C*OW, OH)
+    out_t = warp_rows_pallas(tmp_t, rows_rep, max_disp)  # (C*OW, OH)
+
+    out = jnp.swapaxes(out_t.reshape(C, OW, OH), 1, 2)
+    out = jnp.moveaxis(out, 0, -1)
+    return out[..., 0] if squeeze else out

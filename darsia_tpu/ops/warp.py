@@ -46,8 +46,20 @@ def identity_grid(shape: tuple[int, ...]) -> jnp.ndarray:
 
 
 def _gather_nd(data: jnp.ndarray, idx: list[jnp.ndarray]) -> jnp.ndarray:
-    """Gather data[idx0, idx1, ...] with trailing channel axes broadcast."""
-    return data[tuple(idx)]
+    """Gather data[idx0, idx1, ...] with trailing channel axes broadcast.
+
+    Uses flattened linear indices + jnp.take: lowers to a single 1d gather,
+    measurably faster on TPU than multi-dimensional advanced indexing.
+    """
+    dim = len(idx)
+    spatial = data.shape[:dim]
+    flat = data.reshape((-1,) + data.shape[dim:])
+    linear = idx[0]
+    for d in range(1, dim):
+        linear = linear * spatial[d] + idx[d]
+    return jnp.take(flat, linear.reshape(-1), axis=0).reshape(
+        idx[0].shape + data.shape[dim:]
+    )
 
 
 def warp(

@@ -1,0 +1,61 @@
+"""Halo exchange for sharded stencil kernels (shard_map + ppermute).
+
+The spatial domain decomposition of an image across the ``space`` mesh axis
+requires each shard to see ``halo`` rows of its neighbours for stencil ops
+(Laplacians, TVD diffusion, warps with bounded displacement).  The exchange
+rides ICI via ``jax.lax.ppermute``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["halo_exchange"]
+
+
+def halo_exchange(
+    local: jnp.ndarray, halo: int, axis_name: str, axis: int = 0
+) -> jnp.ndarray:
+    """Pad a shard with `halo` rows from its mesh neighbours.
+
+    Must be called inside shard_map with ``axis_name`` bound.  Boundary
+    shards receive an edge-replicated pad (Neumann closure), matching the
+    single-device stencil boundary conventions.
+
+    Args:
+        local: local shard.
+        halo: number of rows to exchange.
+        axis_name: mesh axis along which shards are laid out.
+        axis: array axis corresponding to the sharded dimension.
+
+    Returns:
+        Array extended by ``halo`` on both sides of ``axis``.
+
+    """
+    num = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+
+    n = local.shape[axis]
+    top_rows = lax.slice_in_dim(local, 0, halo, axis=axis)
+    bottom_rows = lax.slice_in_dim(local, n - halo, n, axis=axis)
+
+    # Send my bottom rows down (to idx+1) -> they become the neighbour's
+    # top halo; and my top rows up (to idx-1) -> neighbour's bottom halo.
+    down = [(i, (i + 1) % num) for i in range(num)]
+    up = [(i, (i - 1) % num) for i in range(num)]
+    from_above = lax.ppermute(bottom_rows, axis_name, down)
+    from_below = lax.ppermute(top_rows, axis_name, up)
+
+    # Edge replication on the outer boundaries of the global domain.
+    edge_top = jnp.repeat(
+        lax.slice_in_dim(local, 0, 1, axis=axis), halo, axis=axis
+    )
+    edge_bottom = jnp.repeat(
+        lax.slice_in_dim(local, n - 1, n, axis=axis), halo, axis=axis
+    )
+    top_halo = jnp.where(idx == 0, edge_top, from_above)
+    bottom_halo = jnp.where(idx == num - 1, edge_bottom, from_below)
+
+    return jnp.concatenate([top_halo, local, bottom_halo], axis=axis)

@@ -8,7 +8,9 @@ Must run before the first `import jax`.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment pins JAX_PLATFORMS=axon via sitecustomize, so the
+# env var alone is NOT enough — the jax.config update below is what forces
+# the CPU backend with 8 virtual devices for sharding tests.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,8 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Persistent compilation cache: repeat test runs skip XLA recompiles.
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: repeat test runs skip XLA recompiles.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,61 @@
+"""Pallas two-pass warp tests (interpret mode on the CPU backend)."""
+
+import numpy as np
+import pytest
+
+import darsia_tpu as da
+
+
+def test_two_pass_translation_exact():
+    import jax.numpy as jnp
+
+    from darsia_tpu.ops.pallas.warp2pass import warp_two_pass
+    from darsia_tpu.ops.warp import identity_grid, warp
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((96, 160, 3)), dtype=jnp.float32)
+    coords = identity_grid((96, 160)) + jnp.array([3.25, -2.5])[:, None, None]
+    ref = np.asarray(warp(img, coords, order=1, mode="nearest"))
+    out = np.asarray(warp_two_pass(img, coords, max_disp=8))
+    assert np.allclose(out[8:-8, 8:-8], ref[8:-8, 8:-8], atol=1e-5)
+
+
+def test_two_pass_smooth_field_close():
+    import jax.numpy as jnp
+
+    from darsia_tpu.ops.pallas.warp2pass import warp_two_pass
+    from darsia_tpu.ops.warp import warp
+
+    rng = np.random.default_rng(1)
+    # Smooth image (so the Catmull-Smith positional error stays small).
+    from darsia_tpu.restoration.averaging import uniform_filter
+
+    base = np.asarray(uniform_filter(jnp.asarray(rng.random((128, 192))), 9))
+    img = jnp.asarray(np.stack([base] * 3, axis=-1), dtype=jnp.float32)
+    yy, xx = np.meshgrid(np.arange(128), np.arange(192), indexing="ij")
+    coords = jnp.asarray(
+        np.stack(
+            [yy + 4 * np.sin(xx / 40.0), xx + 3 * np.cos(yy / 37.0)]
+        ),
+        dtype=jnp.float32,
+    )
+    ref = np.asarray(warp(img, coords, order=1, mode="nearest"))
+    out = np.asarray(warp_two_pass(img, coords, max_disp=8))
+    err = np.abs(out - ref)[8:-8, 8:-8]
+    assert err.mean() < 5e-3
+
+
+def test_two_pass_shape_changing_crop():
+    import jax.numpy as jnp
+
+    from darsia_tpu.ops.pallas.warp2pass import warp_two_pass
+    from darsia_tpu.ops.warp import identity_grid
+
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.random((64, 96, 3)), dtype=jnp.float32)
+    # Crop rows 8..56, cols 16..80 (axis-aligned -> exact).
+    out_shape = (48, 64)
+    grid = identity_grid(out_shape) + jnp.array([8.0, 16.0])[:, None, None]
+    out = np.asarray(warp_two_pass(img, grid, max_disp=32))
+    assert out.shape == (48, 64, 3)
+    assert np.allclose(out, np.asarray(img)[8:56, 16:80], atol=1e-5)
