@@ -46,7 +46,11 @@ from .image.coordinatesystem import (
     CoordinateSystem,
     voxels_to_coordinates,
     coordinates_to_voxels,
+    check_equal_coordinatesystems,
 )
+from .image.arithmetics import weight, superpose, stack, zeros_like, ones_like
+from .image.roi import ROI
+from .image.coordinatetransformation import CoordinateTransformation
 from .image.image import Image, ScalarImage, OpticalImage, ExtensiveImage
 from .image.imread import (
     imread,
@@ -172,6 +176,35 @@ from .utils import morphology
 
 # ---- utils (analysis helpers)
 from .utils.kmeans import kmeans
+from .utils.masks import Masks
+from .utils.slices import (
+    add_slices,
+    add_slice_pairs,
+    subtract_slices,
+    subtract_slice_pairs,
+    array_slice,
+    array_slice_argument,
+)
+from .utils.sort import sort_quad
+from .utils.detection import (
+    detect_value,
+    detect_color,
+    orthogonal_colors,
+    monochromatic_concentration_analysis,
+    detect_closest_point,
+)
+from .utils.timings import timing_decorator
+from .utils.coloranalysis import hsv_spectrum
+from .utils.features import FeatureDetection, harris_corners
+from .utils.segmentation import (
+    segment,
+    label_image,
+    group_labels,
+    reassign_labels,
+    make_consecutive,
+    scharr_edges,
+)
+from .utils.linalg import cg as linalg_cg, gmres as linalg_gmres, KSP
 from .utils.interpolation import (
     interpolate_to_image,
     interpolate_to_image_from_csv,

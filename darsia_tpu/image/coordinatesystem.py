@@ -28,7 +28,36 @@ from .indexing import interpret_indexing
 if TYPE_CHECKING:  # pragma: no cover
     from .image import Image
 
-__all__ = ["CoordinateSystem", "voxels_to_coordinates", "coordinates_to_voxels"]
+__all__ = [
+    "CoordinateSystem",
+    "voxels_to_coordinates",
+    "coordinates_to_voxels",
+    "check_equal_coordinatesystems",
+]
+
+
+def check_equal_coordinatesystems(
+    cs1: "CoordinateSystem", cs2: "CoordinateSystem", exclude_size: bool = False
+) -> tuple[bool, list[str]]:
+    """Compare two coordinate systems; returns (equal, failure log).
+
+    Parity: reference ``image/coordinatesystem.py`` equality check.
+    """
+    log = []
+    if cs1.dim != cs2.dim:
+        log.append("dimension mismatch")
+    if cs1.indexing != cs2.indexing:
+        log.append("indexing mismatch")
+    if not np.allclose(cs1.dimensions, cs2.dimensions):
+        log.append("dimensions mismatch")
+    if not np.allclose(
+        np.asarray(cs1._coordinate_of_origin_voxel),
+        np.asarray(cs2._coordinate_of_origin_voxel),
+    ):
+        log.append("origin mismatch")
+    if not exclude_size and cs1.shape != cs2.shape:
+        log.append("shape mismatch")
+    return len(log) == 0, log
 
 
 class CoordinateSystem:
