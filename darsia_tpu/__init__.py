@@ -116,6 +116,26 @@ from .analysis.imageregistration import (
 from .image.patches import Patches
 from .corrections.shape.piecewiseperspective import PiecewisePerspectiveTransform
 from .corrections.shape.deformation import DeformationCorrection
+from .analysis.contouranalysis import contour_length, ContourAnalysis
+from .analysis.contour_smoother import (
+    ContourSmoother,
+    ContourSmootherSequence,
+    PolyDPSmoother,
+    MovingAverageSmoother,
+    GaussianSmoother,
+    SavitzkyGolaySmoother,
+)
+from .analysis.skeleton_analysis import SkeletonAnalysis, PathEvolutionAnalysis
+from .analysis.model_calibration import (
+    AbstractModelObjective,
+    InjectionRateModelObjectiveMixin,
+    AbsoluteVolumeModelObjectiveMixin,
+)
+from .analysis.balancing_calibration import (
+    AbstractBalancingCalibration,
+    ContinuityBasedBalancingCalibrationMixin,
+)
+from .analysis.segmentationcomparison import SegmentationComparison
 
 # ---- L2: corrections
 from .corrections import (

@@ -84,7 +84,7 @@ class Geometry:
 
     def integrate(self, data) -> Union[float, np.ndarray]:
         """Integrate data over the geometry (weighted sum reduction)."""
-        fetched = np.asarray(data) if isinstance(data, np.ndarray) else np.asarray(data.img)
+        fetched = np.asarray(data.img if hasattr(data, "img") else data)
         fetched_shape = list(fetched.shape[: self.space_dim])
         if isinstance(data, ExtensiveImage):
             total = fetched
