@@ -137,6 +137,37 @@ from .analysis.balancing_calibration import (
 )
 from .analysis.segmentationcomparison import SegmentationComparison
 
+# ---- L7: experiment / multiphase / managers
+from .experiment.protocols import (
+    ImagingInterval,
+    ImagingProtocol,
+    InjectionProtocol,
+    ThermodynamicState,
+    PressureTemperatureProtocol,
+)
+from .experiment.experiment import Experiment, TimeWindow, ProtocolledExperiment
+from .multiphase.flash import Flash, AdvancedFlash, SimpleFlash
+from .multiphase.mass_analysis import (
+    co2_gas_density,
+    co2_solubility,
+    water_density,
+    CO2MassAnalysis,
+    AdvancedCO2MassAnalysis,
+    MassAnalysisResults,
+    SimpleMassAnalysisResults,
+    ThresholdAnalysisResults,
+    full_like,
+)
+from .multiphase.time_series import (
+    TimeSeriesData,
+    MultiphaseTimeSeriesData,
+    MultiphaseTimeSeriesAnalysis,
+)
+from .manager.analysisbase import AnalysisBase
+from .manager.concentrationanalysisbase import ConcentrationAnalysisBase
+from .manager.traceranalysis import TracerAnalysis
+from .manager.co2analysis import CO2Analysis
+
 # ---- L2: corrections
 from .corrections import (
     BaseCorrection,
