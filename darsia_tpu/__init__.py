@@ -101,6 +101,39 @@ from .signals.models.binarydataselector import (
     BinaryDataSelector,
 )
 from .utils.kernels import BaseKernel, LinearKernel, GaussianKernel
+from .signals.color import (
+    ColorMode,
+    ColorPath,
+    define_color_path,
+    ColorRange,
+    DiscreteColorRange,
+    ColorSpectrum,
+    color_to_index,
+    index_to_color,
+    flatten_index,
+    unflatten_index,
+    LabelColorMap,
+    LabelColorPathMap,
+    LabelColorSpectrumMap,
+    get_mean_color,
+    ColorEmbeddingBasis,
+    parse_color_embedding_basis,
+    calibration_basis_folder,
+    ColorEmbeddingRuntime,
+    ColorEmbeddingTransform,
+    ColorEmbedding,
+    ColorChannelEmbedding,
+    ColorPathEmbedding,
+    ColorRangeEmbedding,
+    channel_index,
+    normalized_trichromatic,
+    LabelColorPathMapRegression,
+)
+from .signals.models.color_path_interpolation import (
+    ColorPathFunction,
+    ColorPathInterpolation,
+    LabelColorPathInterpolation,
+)
 
 # ---- L5: analysis engines
 from .analysis.concentrationanalysis import (
