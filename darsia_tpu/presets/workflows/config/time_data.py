@@ -1,0 +1,140 @@
+"""Time-selection data for calibration/analysis subsets.
+
+Parity: reference ``presets/workflows/config/time_data.py:15-333``
+(TimeInterval, TimeWindow, TimeData) — compact declarative variant.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .toml_utils import convert_to_hours
+
+__all__ = ["TimeInterval", "TimeWindow", "TimeData"]
+
+
+@dataclass
+class TimeInterval:
+    """Uniformly sampled time interval [start, end] in hours."""
+
+    start: float
+    end: float
+    step: Optional[float] = None
+    num: Optional[int] = None
+    tol: Optional[float] = None
+
+    def times(self) -> list:
+        if self.num is not None:
+            return np.linspace(self.start, self.end, self.num).tolist()
+        step = self.step if self.step else (self.end - self.start)
+        return np.arange(self.start, self.end + 0.5 * step, step).tolist()
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "TimeInterval":
+        return cls(
+            start=convert_to_hours(data["start"]),
+            end=convert_to_hours(data["end"]),
+            step=convert_to_hours(data["step"]) if "step" in data else None,
+            num=int(data["num"]) if "num" in data else None,
+            tol=convert_to_hours(data["tol"]) if "tol" in data else None,
+        )
+
+
+@dataclass
+class TimeWindow:
+    """Closed time window [start, end] in hours."""
+
+    start: float
+    end: float
+
+    def contains(self, time: float) -> bool:
+        return self.start <= time <= self.end
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "TimeWindow":
+        return cls(
+            start=convert_to_hours(data["start"]),
+            end=convert_to_hours(data["end"]),
+        )
+
+
+@dataclass
+class TimeData:
+    """Aggregated image selection: explicit times, intervals/windows, paths.
+
+    TOML shape (sub-sections of any owning section):
+        times = [0.5, "01:30:00"]
+        [<owner>.interval.early]
+        start = 0.0
+        end = 2.0
+        num = 5
+        [<owner>.window.late]
+        start = 10.0
+        end = 24.0
+        paths = ["img_042.jpg"]
+    """
+
+    image_times: list = field(default_factory=list)
+    image_intervals: dict = field(default_factory=dict)
+    image_windows: dict = field(default_factory=dict)
+    image_paths: list = field(default_factory=list)
+    default_tol: float = 1.0 / 60.0
+
+    def load(self, sec: dict) -> "TimeData":
+        self.image_times = [
+            convert_to_hours(t) for t in sec.get("times", [])
+        ]
+        for name, interval in sec.get("interval", {}).items():
+            self.image_intervals[name] = TimeInterval.from_dict(interval)
+        for name, window in sec.get("window", {}).items():
+            self.image_windows[name] = TimeWindow.from_dict(window)
+        self.image_paths = [Path(p) for p in sec.get("paths", [])]
+        if "tol" in sec:
+            self.default_tol = convert_to_hours(sec["tol"])
+        return self
+
+    def all_times(self) -> list:
+        """All requested times (explicit + interval samples), sorted."""
+        times = list(self.image_times)
+        for interval in self.image_intervals.values():
+            times.extend(interval.times())
+        return sorted(set(times))
+
+    def select(self, available_times: list) -> list:
+        """Indices of available times matching this selection."""
+        available = np.asarray(available_times, dtype=float)
+        selected = set()
+        for t in self.all_times():
+            if available.size == 0:
+                break
+            idx = int(np.argmin(np.abs(available - t)))
+            if abs(available[idx] - t) <= self.default_tol:
+                selected.add(idx)
+        for window in self.image_windows.values():
+            selected.update(
+                int(i)
+                for i in np.nonzero(
+                    (available >= window.start) & (available <= window.end)
+                )[0]
+            )
+        if (
+            not self.image_times
+            and not self.image_intervals
+            and not self.image_windows
+            and not self.image_paths
+        ):
+            return list(range(len(available_times)))
+        return sorted(selected)
+
+    @property
+    def empty(self) -> bool:
+        return not (
+            self.image_times
+            or self.image_intervals
+            or self.image_windows
+            or self.image_paths
+        )

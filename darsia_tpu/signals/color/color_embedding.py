@@ -187,6 +187,8 @@ class ColorChannelEmbedding(ColorEmbedding):
     basis: ColorEmbeddingBasis
     color_space: str = "RGB"
     channel: str = "r"
+    calibration_root: Optional[Path] = None
+    mask_embedding: object = None
 
     def canonical_transform(self, runtime) -> ColorEmbeddingTransform:
         return ColorChannelEmbeddingTransform(
@@ -217,6 +219,14 @@ class ColorPathEmbedding(ColorEmbedding):
     ignore_labels: list = field(default_factory=list)
     resolution: int = 51
     reference_label: int = 0
+    threshold_baseline: float = 0.0
+    threshold_calibration: float = 0.0
+    rois: list = field(default_factory=list)
+    ignore_baseline_spectrum: str = "expanded"
+    histogram_weighting: str = "threshold"
+    calibration_mode: str = "auto"
+    baseline_data: object = None
+    data: object = None
 
     @property
     def color_paths_folder(self) -> Path:
