@@ -342,3 +342,21 @@ from .utils.plotting import to_vtk
 from .ops import color as color_ops
 from .ops import warp as warp_ops
 from .ops.resize import resize_array
+
+# ---- L8: presets / application layer
+from .corrections.color.colorcheckerfinder import find_colorchecker
+from .restoration.averaging import porosity_based_averaging
+from .utils.morphology import find_boundaries
+from .presets.analysis.multichromatictracer import MultichromaticTracerAnalysis
+from .presets.analysis.porosity import PorosityAnalysis, patched_porosity_analysis
+from .presets.workflows.facies_props import FaciesProps
+from .presets.workflows.rig import Rig
+from .presets.workflows.mode_resolution import (
+    LEGACY_COLOR_TO_MASS_MODES,
+    SCALAR_PRODUCT_MODES,
+    parse_color_mode,
+    validate_mode_syntax,
+    mode_requires_color_to_mass,
+    resolve_mode_image,
+)
+from .presets.workflows.config import FluidFlowerConfig, MultiFluidFlowerConfig

@@ -54,4 +54,16 @@ CORRECTION_REGISTRY = {
     "DriftCorrection": DriftCorrection,
     "GeneralizedPerspectiveCorrection": GeneralizedPerspectiveCorrection,
 }
+
+
+def _register_resize() -> None:
+    # Resize lives in restoration but participates in correction pipelines
+    # (reference corrections/readcorrection.py handles it the same way);
+    # late import avoids a circular dependency.
+    from ..restoration.resize import Resize
+
+    CORRECTION_REGISTRY["Resize"] = Resize
+
+
+_register_resize()
 """Class-name dispatch for :func:`read_correction`."""

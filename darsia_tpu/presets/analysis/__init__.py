@@ -1,0 +1,4 @@
+"""Analysis presets (parity: reference ``presets/analysis/``)."""
+
+from .multichromatictracer import MultichromaticTracerAnalysis
+from .porosity import PorosityAnalysis, patched_porosity_analysis

@@ -1,0 +1,13 @@
+"""FluidFlower workflow layer (parity: reference ``presets/workflows/``)."""
+
+from .facies_props import FaciesProps
+from .mode_resolution import (
+    LEGACY_COLOR_TO_MASS_MODES,
+    SCALAR_PRODUCT_MODES,
+    ColorEmbeddingMode,
+    parse_color_mode,
+    validate_mode_syntax,
+    mode_requires_color_to_mass,
+    resolve_mode_image,
+)
+from .rig import Rig

@@ -162,15 +162,18 @@ class PatchwiseIlluminationCorrectionConfig:
     """Patchwise illumination correction."""
 
     image_path: Path = field(default_factory=Path)
-    patches: tuple = (4, 4)
-    colorspace: str = "hsl-scalar"
+    baseline_paths: list = field(default_factory=list)
+    nw: int = 1000
+    limit: int = 1450
+    eps: float = 1e-6
 
     def load(self, sec: dict) -> "PatchwiseIlluminationCorrectionConfig":
         if "image_path" in sec:
             self.image_path = Path(sec["image_path"])
-        if "patches" in sec:
-            self.patches = tuple(int(v) for v in sec["patches"])
-        self.colorspace = sec.get("colorspace", self.colorspace)
+        self.baseline_paths = [Path(p) for p in sec.get("baseline_paths", [])]
+        self.nw = int(sec.get("nw", self.nw))
+        self.limit = int(sec.get("limit", self.limit))
+        self.eps = float(sec.get("eps", self.eps))
         return self
 
 

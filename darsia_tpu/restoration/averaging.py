@@ -107,3 +107,38 @@ class VolumeAveraging:
 def volume_average(img, mask, size: float):
     """One-shot volume averaging."""
     return VolumeAveraging(rev=REV(size=size, img=img), mask=mask)(img)
+
+
+def porosity_based_averaging(
+    labels, porosity, ref_image, threshold: float = 0.3, disk_size: int = 5,
+    rev_size: float = 0.005,
+):
+    """Porosity-weighted volume averaging with deactivated layer boundaries.
+
+    Parity: reference ``restoration/averaging.py:165-203``.  Grains
+    (porosity below ``threshold``) and label-boundary buffer zones are
+    excluded from the averaging mask.
+    """
+    from ..utils.morphology import binary_dilation, disk
+
+    labels_arr = np.asarray(labels.img if hasattr(labels, "img") else labels)
+    porosity_arr = np.array(
+        np.asarray(porosity.img if hasattr(porosity, "img") else porosity),
+        dtype=float,
+    )
+
+    # Erode each label region: pixels within disk_size of another label are
+    # excluded (layer boundaries).
+    residual = np.zeros(labels_arr.shape, dtype=bool)
+    footprint = disk(disk_size)
+    for label in np.unique(labels_arr):
+        mask = labels_arr == label
+        dilated_negative = binary_dilation(~mask, footprint=footprint)
+        residual |= mask & dilated_negative
+
+    porosity_arr[porosity_arr < threshold] = 0.0
+    porosity_arr[residual] = 0.0
+
+    return VolumeAveraging(
+        rev=REV(size=rev_size, img=ref_image), mask=porosity_arr
+    )

@@ -44,7 +44,9 @@ class HeterogeneousModel(Model):
     def __init__(self, model, labels: np.ndarray, **kwargs) -> None:
         import copy as _copy
 
-        self.labels = np.asarray(labels)
+        self.labels = np.asarray(
+            labels.img if hasattr(labels, "img") else labels
+        )
         self.unique_labels = np.unique(self.labels)
         self.num_labels = len(self.unique_labels)
         self.models = [_copy.deepcopy(model) for _ in range(self.num_labels)]
@@ -54,10 +56,21 @@ class HeterogeneousModel(Model):
 
     def call_array(self, signal: jnp.ndarray) -> jnp.ndarray:
         labels = jnp.asarray(self.labels)
-        out = jnp.zeros_like(jnp.asarray(signal, dtype=jnp.float32))
+        out = None
         for label, model in zip(self.unique_labels, self.models):
-            contribution = model.call_array(signal)
-            out = jnp.where(labels == label, contribution, out)
+            contribution = jnp.asarray(
+                model.call_array(signal), dtype=jnp.float32
+            )
+            if out is None:
+                # Output shape follows the sub-model (may drop the color
+                # axis, e.g. kernel interpolation: (H, W, 3) -> (H, W)).
+                out = jnp.zeros_like(contribution)
+            mask = labels == label
+            if mask.ndim < contribution.ndim:
+                mask = mask.reshape(
+                    mask.shape + (1,) * (contribution.ndim - mask.ndim)
+                )
+            out = jnp.where(mask, contribution, out)
         return out
 
     def __getitem__(self, key):

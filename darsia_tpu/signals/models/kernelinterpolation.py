@@ -91,7 +91,12 @@ class KernelInterpolation(Model):
         # Dense kernel matrix over supports (vectorized pairwise evaluation).
         S = jnp.asarray(self.supports)
         X = np.asarray(self.kernel(S[:, None, :], S[None, :, :]))
-        self._Xinv = np.linalg.inv(X)
+        # Near-duplicate supports make X numerically singular; a small
+        # relative ridge keeps the interpolant bounded (kernel ridge
+        # regression limit) instead of amplifying noise.
+        n = X.shape[0]
+        ridge = 1e-8 * np.trace(X) / max(n, 1)
+        self._Xinv = np.linalg.inv(X + ridge * np.eye(n))
 
     def update_interpolation(self) -> None:
         if getattr(self, "_Xinv", None) is None:

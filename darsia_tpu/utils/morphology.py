@@ -121,3 +121,22 @@ def skeletonize(img: np.ndarray) -> np.ndarray:
         skel |= eroded & ~opened
         eroded = ndimage.binary_erosion(eroded, structure=structure)
     return skel
+
+
+def find_boundaries(labels: np.ndarray, mode: str = "outer", connectivity: int = 1) -> np.ndarray:
+    """Boolean mask of pixels adjacent to a different label.
+
+    Parity: skimage.segmentation.find_boundaries (as used by reference
+    rig.py:426-448 for inner-label masks).
+    """
+    labels = np.asarray(labels)
+    boundary = np.zeros(labels.shape, dtype=bool)
+    for axis in range(labels.ndim):
+        diff = np.diff(labels, axis=axis) != 0
+        lo = [slice(None)] * labels.ndim
+        hi = [slice(None)] * labels.ndim
+        lo[axis] = slice(0, -1)
+        hi[axis] = slice(1, None)
+        boundary[tuple(lo)] |= diff
+        boundary[tuple(hi)] |= diff
+    return boundary
