@@ -360,3 +360,11 @@ from .presets.workflows.mode_resolution import (
     resolve_mode_image,
 )
 from .presets.workflows.config import FluidFlowerConfig, MultiFluidFlowerConfig
+from .signals.models.pwtransformation import PWTransformation
+from .utils.standard_images import roi_to_mask
+from .presets.workflows.simple_run_analysis import SimpleRunAnalysis
+from .presets.workflows.heterogeneous_color_analysis import HeterogeneousColorAnalysis
+from .presets.workflows.heterogeneous_color_to_mass_analysis import (
+    HeterogeneousColorToMassAnalysis,
+)
+from .presets.workflows.analysis.expert_knowledge import ExpertKnowledgeAdapter

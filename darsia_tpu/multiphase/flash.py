@@ -110,6 +110,23 @@ class SimpleFlash:
             s_g = self.restoration(s_g)
         return c_aq, s_g
 
+    def update(
+        self,
+        min_value_aq=None,
+        max_value_aq=None,
+        min_value_g=None,
+        max_value_g=None,
+    ) -> None:
+        """Update flash bounds (reference simple flash calibration API)."""
+        if min_value_aq is not None:
+            self.min_value_aq = float(min_value_aq)
+        if max_value_aq is not None:
+            self.max_value_aq = float(max_value_aq)
+        if min_value_g is not None:
+            self.min_value_g = float(min_value_g)
+        if max_value_g is not None:
+            self.max_value_g = float(max_value_g)
+
     def save(self, path) -> None:
         path = Path(path).with_suffix(".npz")
         path.parent.mkdir(parents=True, exist_ok=True)

@@ -11,3 +11,7 @@ from .mode_resolution import (
     resolve_mode_image,
 )
 from .rig import Rig
+from .simple_run_analysis import SimpleRunAnalysis
+from .heterogeneous_color_analysis import HeterogeneousColorAnalysis
+from .heterogeneous_color_to_mass_analysis import HeterogeneousColorToMassAnalysis
+from .analysis.expert_knowledge import ExpertKnowledgeAdapter

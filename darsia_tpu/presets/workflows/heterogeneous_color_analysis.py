@@ -1,0 +1,139 @@
+"""Heterogeneous (per-label) color-path concentration analysis.
+
+Parity: reference
+``presets/workflows/heterogeneous_color_analysis.py:45-934``.  The
+reference's interactive matplotlib calibration loops (point-and-click
+color paths, slider value tuning) are replaced by programmatic
+counterparts taking explicit color paths / values.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Optional
+
+import numpy as np
+
+from ...analysis.concentrationanalysis import ConcentrationAnalysis
+from ...signals.color.color_mode import ColorMode
+from ...signals.color.color_path import ColorPath, define_color_path
+from ...signals.models.basemodel import HeterogeneousModel
+from ...signals.models.clipmodel import ClipModel
+from ...signals.models.color_path_interpolation import ColorPathInterpolation
+from ...signals.models.combinedmodel import CombinedModel
+
+__all__ = ["HeterogeneousColorAnalysis"]
+
+
+def _default_interpolation(color_mode: ColorMode) -> ColorPathInterpolation:
+    return ColorPathInterpolation(
+        color_path=ColorPath(
+            colors=[0.0 * np.ones(3), 0.5 * np.ones(3), 1.0 * np.ones(3)],
+            base_color=np.zeros(3),
+            mode="rgb",
+        ),
+        color_mode=color_mode,
+    )
+
+
+class HeterogeneousColorAnalysis(ConcentrationAnalysis):
+    """Color-based concentration analysis with per-label color paths."""
+
+    def __init__(
+        self,
+        baseline,
+        labels,
+        color_mode: ColorMode,
+        color_path_functions: Optional[dict] = None,
+        restoration=None,
+        ignore_labels: Optional[list] = None,
+    ) -> None:
+        model = CombinedModel(
+            [
+                HeterogeneousModel(
+                    _default_interpolation(color_mode),
+                    labels,
+                    ignore_labels=ignore_labels,
+                ),
+                ClipModel(min_value=0.0, max_value=None),
+            ]
+        )
+        config = {"diff option": "plain", "restoration -> model": False}
+        super().__init__(
+            base=baseline if color_mode == ColorMode.RELATIVE else None,
+            restoration=restoration,
+            labels=labels,
+            model=model,
+            **config,
+        )
+        self.color_mode = color_mode
+        labels_arr = np.asarray(
+            labels.img if hasattr(labels, "img") else labels
+        )
+        self.color_path_associations = np.zeros(
+            np.unique(labels_arr).size, dtype=int
+        )
+        self.color_path_functions: list = []
+        if color_path_functions:
+            self.color_path_associations = np.unique(labels_arr).astype(int)
+            self.color_path_functions = list(color_path_functions.values())
+            for label, function in color_path_functions.items():
+                self.model[0][label] = copy.copy(function)
+
+    # ------------------------------------------------------------ calibrate
+
+    def define_color_path(
+        self, image, mask, num_colors: int = 5, name: str = "ColorPath"
+    ) -> ColorPath:
+        """Derive a color path from masked pixels (programmatic counterpart
+        of the reference's interactive picker)."""
+        data = image
+        if self.color_mode == ColorMode.RELATIVE and self.base is not None:
+            data = image.copy()
+            data.img = np.asarray(image.img) - np.asarray(self.base.img)
+        return define_color_path(data, mask, num_colors=num_colors, name=name)
+
+    def global_calibration_colors(
+        self, image, mask, color_path: Optional[ColorPath] = None
+    ) -> None:
+        """Assign one (derived or given) color path to all labels
+        (reference heterogeneous_color_analysis.py:184-213)."""
+        if color_path is None:
+            color_path = self.define_color_path(image, mask)
+        self.global_color_path = color_path
+        self.color_paths = [color_path]
+        labels_arr = np.asarray(self.labels.img)
+        self.color_path_associations = np.zeros(
+            np.unique(labels_arr).size, dtype=int
+        )
+        for label in np.unique(labels_arr):
+            self._assign_color_path(int(label), color_path)
+
+    def _assign_color_path(self, label: int, color_path: ColorPath) -> None:
+        model = self.model[0][label]
+        model.color_path = copy.copy(color_path)
+        # A path with a different node count invalidates the value table.
+        if len(model.values) != color_path.num_segments + 1:
+            model.values = np.asarray(color_path.equidistant_distances)
+
+    def local_calibration_colors(
+        self, label: int, image, mask, color_path: Optional[ColorPath] = None
+    ) -> None:
+        """Assign a dedicated color path to one label
+        (reference heterogeneous_color_analysis.py:213-249)."""
+        if color_path is None:
+            color_path = self.define_color_path(image, mask)
+        if not hasattr(self, "color_paths"):
+            self.color_paths = []
+        self.color_paths.append(color_path)
+        self.color_path_associations[int(label)] = len(self.color_paths) - 1
+        self._assign_color_path(int(label), color_path)
+
+    def local_calibration_values(self, label: int, values) -> None:
+        """Set the interpolation values of one label's path
+        (reference heterogeneous_color_analysis.py:249-423 slider UI)."""
+        self.model[0][int(label)].update_model_parameters(values)
+
+    def update_color_path_function(self, label: int, function) -> None:
+        self.model[0][int(label)] = copy.copy(function)
+        self.color_path_functions.append(function)

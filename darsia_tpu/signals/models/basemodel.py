@@ -41,23 +41,36 @@ class HeterogeneousModel(Model):
     `jnp.where` — branch-free, fully fused.
     """
 
-    def __init__(self, model, labels: np.ndarray, **kwargs) -> None:
+    def __init__(
+        self, model, labels: np.ndarray, ignore_labels=None, **kwargs
+    ) -> None:
         import copy as _copy
 
         self.labels = np.asarray(
             labels.img if hasattr(labels, "img") else labels
         )
-        self.unique_labels = np.unique(self.labels)
+        self.unique_labels = [int(l) for l in np.unique(self.labels)]
         self.num_labels = len(self.unique_labels)
-        self.models = [_copy.deepcopy(model) for _ in range(self.num_labels)]
+        self.ignore_labels = [int(l) for l in (ignore_labels or [])]
+        # Accept a per-label dict (reference passes dicts for calibrated
+        # models) or a prototype to be copied per label.
+        if isinstance(model, dict):
+            self.models = {int(k): v for k, v in model.items()}
+        else:
+            self.models = {
+                label: _copy.deepcopy(model) for label in self.unique_labels
+            }
         self.num_parameters = sum(
-            getattr(m, "num_parameters", 0) for m in self.models
+            getattr(m, "num_parameters", 0) for m in self.models.values()
         )
 
     def call_array(self, signal: jnp.ndarray) -> jnp.ndarray:
         labels = jnp.asarray(self.labels)
         out = None
-        for label, model in zip(self.unique_labels, self.models):
+        for label in self.unique_labels:
+            model = self.models.get(label)
+            if model is None or label in self.ignore_labels:
+                continue
             contribution = jnp.asarray(
                 model.call_array(signal), dtype=jnp.float32
             )
@@ -71,20 +84,28 @@ class HeterogeneousModel(Model):
                     mask.shape + (1,) * (contribution.ndim - mask.ndim)
                 )
             out = jnp.where(mask, contribution, out)
+        if out is None:
+            out = jnp.zeros(
+                jnp.asarray(signal).shape[: self.labels.ndim],
+                dtype=jnp.float32,
+            )
         return out
 
-    def __getitem__(self, key):
-        return self.models[key]
+    def __getitem__(self, label):
+        return self.models[int(label)]
 
-    def __setitem__(self, key, value):
-        self.models[key] = value
+    def __setitem__(self, label, value):
+        self.models[int(label)] = value
 
     def keys(self):
-        return range(self.num_labels)
+        return list(self.models.keys())
 
     def update_model_parameters(self, parameters: np.ndarray, dofs=None) -> None:
         offset = 0
-        for model in self.models:
+        for label in self.unique_labels:
+            model = self.models.get(label)
+            if model is None:
+                continue
             n = getattr(model, "num_parameters", 0)
             model.update_model_parameters(parameters[offset : offset + n], dofs)
             offset += n
