@@ -368,3 +368,12 @@ from .presets.workflows.heterogeneous_color_to_mass_analysis import (
     HeterogeneousColorToMassAnalysis,
 )
 from .presets.workflows.analysis.expert_knowledge import ExpertKnowledgeAdapter
+from .signals.models.thresholdmodel import ThresholdModel
+from .presets.fluidflower import (
+    benchmark_binary_cleaning_preset,
+    benchmark_concentration_analysis_preset,
+    FluidFlowerRig,
+    FluidFlowerCO2Analysis,
+    FluidFlowerTracerAnalysis,
+    SimpleFluidFlower,
+)
