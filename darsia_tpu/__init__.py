@@ -377,3 +377,17 @@ from .presets.fluidflower import (
     FluidFlowerTracerAnalysis,
     SimpleFluidFlower,
 )
+from .assistants import (
+    BaseAssistant,
+    PointSelectionAssistant,
+    BoxSelectionAssistant,
+    RectangleSelectionAssistant,
+    SubregionAssistant,
+    RotationCorrectionAssistant,
+    CropAssistant,
+    LabelsSegmentAssistant,
+    LabelsMaskSelectionAssistant,
+    LabelsPickAssistant,
+    LabelsMergeAssistant,
+    LabelsAssistant,
+)
