@@ -1,0 +1,117 @@
+"""Image export following named format presets.
+
+Parity: reference
+``presets/workflows/analysis/image_export_formats.py:21-260``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..config.format_registry import FormatRegistry, ImageExportFormat
+
+__all__ = ["ImageExportFormats"]
+
+
+def _seconds_from_image(image) -> int:
+    time = getattr(image, "time", None)
+    if time is None:
+        return 0
+    return int(round(float(np.asarray(time))))
+
+
+class ImageExportFormats:
+    """Apply a set of format presets when exporting scalar images."""
+
+    def __init__(self, formats: list) -> None:
+        self.formats = formats
+
+    @classmethod
+    def from_analysis_config(
+        cls, analysis_config, format_registry: Optional[FormatRegistry]
+    ) -> "ImageExportFormats":
+        # Without explicit [analysis].formats, export raw npz + jpg preview.
+        keys = getattr(analysis_config, "formats", None) or ["npz", "jpg"]
+        formats = []
+        for key in keys:
+            if format_registry is not None and key in format_registry:
+                formats.append(format_registry[key])
+            else:
+                formats.append(
+                    ImageExportFormat(type=key.lower(), identifier=key.lower())
+                )
+        return cls(formats)
+
+    def _resample(self, arr: np.ndarray, spec: ImageExportFormat) -> np.ndarray:
+        if spec.resolution is None:
+            return arr
+        from ....ops.resize import resize_array
+
+        rows, cols = spec.resolution
+        if spec.keep_ratio:
+            scale = min(rows / arr.shape[0], cols / arr.shape[1])
+            rows = max(int(arr.shape[0] * scale), 1)
+            cols = max(int(arr.shape[1] * scale), 1)
+        return np.asarray(resize_array(arr, (rows, cols)))
+
+    def export(self, image, folder: Path, stem: str, **write_kwargs) -> list:
+        """Write the image in every configured format; returns paths."""
+        written = []
+        data = np.asarray(image.img if hasattr(image, "img") else image)
+        seconds = _seconds_from_image(image)
+        for spec in self.formats:
+            out_dir = Path(folder) / spec.folder_name
+            out_dir.mkdir(parents=True, exist_ok=True)
+            name = spec.render_name(stem, time_hours=seconds / 3600.0)
+            arr = self._resample(data, spec)
+            if spec.dtype is not None:
+                arr = arr.astype(np.dtype(spec.dtype))
+            if spec.type in ("jpg", "png"):
+                path = out_dir / f"{name}.{spec.type}"
+                self._write_raster(arr, path, spec)
+            elif spec.type == "npy":
+                path = out_dir / f"{name}.npy"
+                np.save(path, arr)
+            elif spec.type == "npz":
+                path = out_dir / f"{name}.npz"
+                if hasattr(image, "save"):
+                    resized = image.copy()
+                    resized.img = arr
+                    resized.save(path)
+                else:
+                    np.savez(path, data=arr)
+            elif spec.type == "csv":
+                path = out_dir / f"{name}.csv"
+                np.savetxt(
+                    path,
+                    np.atleast_2d(arr.reshape(arr.shape[0], -1)),
+                    delimiter=spec.delimiter,
+                    header=spec.header or "",
+                    fmt=spec.float_format.replace("{:", "%").replace("}", "")
+                    if "{" in spec.float_format
+                    else spec.float_format,
+                )
+            else:
+                continue
+            written.append(path)
+        return written
+
+    @staticmethod
+    def _write_raster(arr: np.ndarray, path: Path, spec: ImageExportFormat):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        if arr.ndim == 2:
+            plt.imsave(
+                path,
+                arr,
+                cmap=spec.cmap or "viridis",
+                dpi=spec.dpi or 100,
+            )
+        else:
+            plt.imsave(path, np.clip(arr, 0, 1), dpi=spec.dpi or 100)

@@ -7,6 +7,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from ....utils.point import make_coordinate
 from .toml_utils import get_key, get_section
 
 __all__ = ["RoiConfig", "MultiRoiConfig", "RoiAndLabelConfig", "RoiAndSubroiConfig"]
@@ -20,12 +21,14 @@ class RoiConfig:
     name: str = ""
 
     def load(self, sec: dict) -> "RoiConfig":
-        self.roi = np.asarray(
-            [
-                get_key(sec, "corner_1", required=True, type_=list),
-                get_key(sec, "corner_2", required=True, type_=list),
-            ],
-            dtype=float,
+        self.roi = make_coordinate(
+            np.asarray(
+                [
+                    get_key(sec, "corner_1", required=True, type_=list),
+                    get_key(sec, "corner_2", required=True, type_=list),
+                ],
+                dtype=float,
+            )
         )
         self.name = get_key(sec, "name", default="", required=False, type_=str)
         return self

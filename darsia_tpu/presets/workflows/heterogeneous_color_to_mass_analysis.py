@@ -244,6 +244,61 @@ class HeterogeneousColorToMassAnalysis:
         for label, interpretation in self.color_path_interpretation.items():
             interpretation.save(folder / f"color_interpretation_{label}.json")
 
+    @classmethod
+    def from_folder(
+        cls,
+        folder: Path,
+        baseline,
+        labels,
+        co2_mass_analysis,
+        geometry,
+        restoration=None,
+        basis: ColorEmbeddingBasis = ColorEmbeddingBasis.LABELS,
+        expert_knowledge_adapter=None,
+        contour_smoother=None,
+        color_mode: ColorMode = ColorMode.RELATIVE,
+        flash=None,
+    ) -> "HeterogeneousColorToMassAnalysis":
+        """Construct a chain from a saved calibration folder
+        (reference HeterogeneousColorToMassAnalysis.load)."""
+        from ...multiphase.flash import SimpleFlash
+        from ...signals.models.color_path_interpolation import (
+            ColorPathInterpolation,
+        )
+        from ...signals.models.pwtransformation import PWTransformation
+
+        folder = Path(folder)
+        interpretations = {}
+        for file in sorted(folder.glob("color_interpretation_*.json")):
+            label = int(file.stem.split("_")[-1])
+            interpretations[label] = ColorPathInterpolation.load(file)
+        signal_functions = {}
+        for file in sorted(folder.glob("signal_function_*.csv")):
+            label = int(file.stem.split("_")[-1])
+            signal_functions[label] = PWTransformation.load(file)
+        if not interpretations or not signal_functions:
+            raise FileNotFoundError(
+                f"No calibrated color-to-mass data found in {folder}."
+            )
+        if flash is None:
+            flash = SimpleFlash(0.0, 1.0, 1.0, 2.0)
+            if (folder / "flash.npz").exists():
+                flash.load(folder / "flash.npz")
+        return cls(
+            baseline=baseline,
+            labels=labels,
+            color_mode=color_mode,
+            color_path_interpretation=interpretations,
+            signal_functions=signal_functions,
+            flash=flash,
+            co2_mass_analysis=co2_mass_analysis,
+            geometry=geometry,
+            restoration=restoration,
+            basis=basis,
+            expert_knowledge_adapter=expert_knowledge_adapter,
+            contour_smoother=contour_smoother,
+        )
+
     def load(self, folder: Path) -> None:
         from ...signals.models.color_path_interpolation import (
             ColorPathInterpolation,

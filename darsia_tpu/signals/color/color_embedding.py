@@ -236,6 +236,14 @@ class ColorPathEmbedding(ColorEmbedding):
             / calibration_basis_folder(self.basis)
         )
 
+    @property
+    def color_to_mass_folder(self) -> Path:
+        return (
+            Path(self.calibration_root)
+            / "color_to_mass"
+            / calibration_basis_folder(self.basis)
+        )
+
     def canonical_transform(self, runtime) -> ColorEmbeddingTransform:
         from ..models.color_path_interpolation import LabelColorPathInterpolation
 

@@ -1,0 +1,216 @@
+"""Integration test: TOML config -> rig -> calibration -> analysis steps."""
+
+from datetime import datetime, timedelta
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import darsia_tpu as da
+from darsia_tpu.presets.workflows.analysis import (
+    analysis_mass_from_context,
+    analysis_segmentation_from_context,
+    analysis_volume_from_context,
+    prepare_analysis_context,
+)
+
+START = datetime(2026, 8, 1, 12, 0, 0)
+H, W = 64, 96
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    work = tmp_path_factory.mktemp("wf")
+    images = work / "images"
+    images.mkdir()
+    results = work / "results"
+    results.mkdir()
+
+    base = np.full((H, W, 3), 0.5, np.float32)
+
+    def save_img(name, arr):
+        da.Image(
+            arr.astype(np.float32), width=2.0, height=1.0, color_space="RGB"
+        ).save(images / f"{name}.npz")
+
+    da.Image(base, width=2.0, height=1.0, color_space="RGB").save(
+        work / "baseline.npz"
+    )
+    save_img("img_000", base)
+    for i, growth in enumerate((8, 16, 24), start=1):
+        arr = base.copy()
+        arr[20:20 + growth, 10:10 + 2 * growth] += [0.3, -0.1, -0.1]
+        arr[20:20 + growth, 58:58 + growth] += [0.15, -0.05, -0.05]
+        save_img(f"img_{i:03d}", np.clip(arr, 0, 1))
+
+    labels = np.zeros((H, W), np.int32)
+    labels[:, 48:] = 1
+    np.save(work / "labels.npy", labels)
+    np.save(work / "depth.npy", np.full((H, W), 0.02, np.float32))
+    (work / "facies.csv").write_text(
+        "id,porosity,permeability\n0,0.44,2e-10\n1,0.36,9e-11\n"
+    )
+
+    rows = ["image_id,datetime,path"]
+    for i in range(4):
+        dt = START + timedelta(hours=i)
+        rows.append(f"{i},{dt.isoformat()},img_{i:03d}.npz")
+    (work / "imaging.csv").write_text("\n".join(rows))
+    (work / "injection.csv").write_text(
+        "location_x,location_y,start,end,rate_kg_s\n"
+        f"0.5,0.5,{START.isoformat()},"
+        f"{(START + timedelta(hours=3)).isoformat()},{0.002 / 3600 / 3}\n"
+    )
+    (work / "pt.csv").write_text(
+        "datetime,pressure,temperature\n"
+        f"{START.isoformat()},1.01,22.0\n"
+        f"{(START + timedelta(hours=4)).isoformat()},1.01,22.0\n"
+    )
+
+    class Exp0:
+        experiment_start = START
+        injection_protocol = None
+        pressure_temperature_protocol = None
+
+        def get_datetime(self, path):
+            return START
+
+    rig = da.Rig()
+    rig.setup(
+        experiment=Exp0(),
+        baseline_path=work / "baseline.npz",
+        depth_map_path=work / "depth.npy",
+        labels_path=work / "labels.npy",
+        facies_props_path=work / "facies.csv",
+    )
+    rig_folder = results / "setup" / "rig"
+    rig.save(rig_folder)
+
+    calib = (
+        results / "calibration" / "color" / "co2" / "color_to_mass"
+        / "from_labels"
+    )
+    path0 = da.ColorPath(
+        relative_colors=[np.zeros(3), np.array([0.3, -0.1, -0.1])],
+        base_color=np.full(3, 0.5),
+    )
+    path1 = da.ColorPath(
+        relative_colors=[np.zeros(3), np.array([0.15, -0.05, -0.05])],
+        base_color=np.full(3, 0.5),
+    )
+    interp = {
+        0: da.ColorPathInterpolation(path0, da.ColorMode.RELATIVE, values=[0, 1]),
+        1: da.ColorPathInterpolation(path1, da.ColorMode.RELATIVE, values=[0, 1]),
+    }
+    sig = {
+        k: da.PWTransformation(supports=[0, 0.5, 1], values=[0, 0.4, 1])
+        for k in (0, 1)
+    }
+    chain = da.HeterogeneousColorToMassAnalysis(
+        baseline=rig.baseline,
+        labels=rig.labels,
+        color_mode=da.ColorMode.RELATIVE,
+        color_path_interpretation=interp,
+        signal_functions=sig,
+        flash=da.SimpleFlash(0.05, 0.5, 0.5, 1.0),
+        co2_mass_analysis=da.CO2MassAnalysis(
+            rig.baseline, atmospheric_pressure=1.01,
+            atmospheric_temperature=22.0,
+        ),
+        geometry=rig.geometry,
+    )
+    chain.save(calib)
+
+    (work / "config.toml").write_text(f"""
+[data]
+folder = "{images}"
+baseline = "img_000.npz"
+results = "{results}"
+
+[rig]
+width = 2.0
+height = 1.0
+dim = 2
+path = "{rig_folder}"
+
+[protocol]
+imaging = "{work / 'imaging.csv'}"
+injection = "{work / 'injection.csv'}"
+pressure_temperature = "{work / 'pt.csv'}"
+
+[roi.left]
+name = "left"
+corner_1 = [0.0, 0.0]
+corner_2 = [1.0, 1.0]
+
+[color.path.co2]
+mode = "relative"
+basis = "labels"
+
+[analysis.mass]
+color = "co2"
+roi = ["left"]
+export = ["mass", "rescaled_mass"]
+
+[analysis.volume]
+roi = ["left"]
+
+[analysis.segmentation]
+label = "CO2"
+mode = "saturation_g"
+thresholds = [0.5]
+color = [[255, 255, 0]]
+""")
+    return work, results
+
+
+@pytest.fixture(scope="module")
+def context(workspace):
+    work, _ = workspace
+    return prepare_analysis_context(
+        cls=da.Rig,
+        path=work / "config.toml",
+        all=True,
+        require_color_to_mass=True,
+    )
+
+
+def test_context_preparation(context):
+    assert len(context.image_paths) == 4
+    assert context.color_to_mass_analysis is not None
+    assert context.fluidflower.geometry is not None
+
+
+def test_mass_hot_loop(workspace, context):
+    _, results = workspace
+    events = []
+    df = analysis_mass_from_context(context, progress_callback=events.append)
+    assert len(df) == 4
+    # Rescaled mass matches injected mass at late times.
+    late = df.sort_values("time").iloc[-1]
+    assert late["detected_mass_total_rescaled"] == pytest.approx(
+        late["exact_mass_total"], rel=1e-3
+    )
+    # ROI columns present and bounded by totals.
+    assert late["left_detected_mass"] <= late["detected_mass_total"] + 1e-12
+    # Field exports written.
+    assert (results / "mass" / "mass").exists()
+    assert list((results / "mass" / "mass" / "npz").glob("*.npz"))
+    assert {e["event"] for e in events} == {
+        "step_start", "image_progress", "step_complete",
+    }
+
+
+def test_volume_step(workspace, context):
+    df = analysis_volume_from_context(context)
+    volumes = df.sort_values("time")["volume_g_total"].tolist()
+    # Gas volume grows with the plume.
+    assert volumes[0] == pytest.approx(0.0, abs=1e-9)
+    assert volumes[-1] > volumes[1] > 0
+
+
+def test_segmentation_step(workspace, context):
+    _, results = workspace
+    analysis_segmentation_from_context(context)
+    jpgs = list((results / "segmentation" / "default").glob("*.jpg"))
+    assert len(jpgs) == 4
