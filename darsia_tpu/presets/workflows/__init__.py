@@ -15,3 +15,9 @@ from .simple_run_analysis import SimpleRunAnalysis
 from .heterogeneous_color_analysis import HeterogeneousColorAnalysis
 from .heterogeneous_color_to_mass_analysis import HeterogeneousColorToMassAnalysis
 from .analysis.expert_knowledge import ExpertKnowledgeAdapter
+from .segmentation_contours import (
+    SimpleSegmentation,
+    GradientBasedSegmentation,
+    SegmentationContours,
+)
+from . import analysis, calibration, comparison, helper, setup, utils

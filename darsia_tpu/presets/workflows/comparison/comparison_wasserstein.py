@@ -1,0 +1,144 @@
+"""Cross-run Wasserstein distance comparison.
+
+Parity: reference
+``presets/workflows/comparison/comparison_wasserstein.py:22-658``.
+The pairwise-distance engine is our TPU Beckmann solver
+(:func:`darsia_tpu.wasserstein_distance`).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import logging
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ....measure.wasserstein import wasserstein_distance
+from ....restoration.resize import Resize
+from ..utils.mass import load_data
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["WassersteinDistanceResult", "comparison_wasserstein"]
+
+
+@dataclass
+class WassersteinDistanceResult:
+    run_a: str
+    run_b: str
+    time: float
+    distance: float
+    roi: Optional[str] = None
+    metadata: dict = field(default_factory=dict)
+
+    def get_result_filename(self) -> str:
+        roi = self.roi or "full"
+        return (
+            f"wasserstein_{self.run_a}_vs_{self.run_b}"
+            f"_t{self.time:07.3f}_{roi}.json"
+        )
+
+    def save_to_dir(self, directory: Path) -> Path:
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        path = directory / self.get_result_filename()
+        path.write_text(json.dumps(asdict(self), default=str, indent=2))
+        return path
+
+    @classmethod
+    def load(cls, filename: Path) -> "WassersteinDistanceResult":
+        data = json.loads(Path(filename).read_text())
+        return cls(**data)
+
+
+def _load_mass(run_name, config, time, tol, resize_factor):
+    run_config = config.runs.config[run_name]
+    mass = load_data(run_config, data="mass", time=time, tol=tol)
+    if mass is None:
+        logger.warning("Mass for run %s at t=%s not found.", run_name, time)
+        return None
+    if resize_factor is not None and resize_factor != 1.0:
+        mass = Resize(fx=resize_factor, fy=resize_factor)(mass)
+    return mass
+
+
+def _compute(cls, config, skip_existing: bool) -> list:
+    wconfig = config.wasserstein
+    results = []
+    for run_a, run_b in itertools.combinations(wconfig.runs, 2):
+        for time, tol in wconfig.times:
+            result = WassersteinDistanceResult(
+                run_a=str(run_a), run_b=str(run_b), time=float(time),
+                distance=float("nan"),
+            )
+            out_path = Path(wconfig.results) / result.get_result_filename()
+            if skip_existing and out_path.exists():
+                continue
+            mass_a = _load_mass(run_a, config, time, tol, wconfig.resize_factor)
+            mass_b = _load_mass(run_b, config, time, tol, wconfig.resize_factor)
+            if mass_a is None or mass_b is None:
+                continue
+            a = np.asarray(mass_a.img, dtype=float)
+            b = np.asarray(mass_b.img, dtype=float)
+            total_a, total_b = float(a.sum()), float(b.sum())
+            if min(total_a, total_b) <= 0:
+                continue
+            if (
+                wconfig.relative_tol is not None
+                and abs(total_a - total_b) / max(total_a, total_b)
+                > wconfig.relative_tol
+            ):
+                logger.warning(
+                    "Mass mismatch %s vs %s at t=%s too large; skipping.",
+                    run_a, run_b, time,
+                )
+                continue
+            distance = wasserstein_distance(
+                mass_a, mass_b, method="newton"
+            )
+            result.distance = float(distance)
+            result.metadata = {"total_a": total_a, "total_b": total_b}
+            result.save_to_dir(wconfig.results)
+            results.append(result)
+            logger.info(
+                "W1(%s, %s; t=%s) = %.6g", run_a, run_b, time, result.distance
+            )
+    return results
+
+
+def _assemble(config):
+    import pandas as pd
+
+    wconfig = config.wasserstein
+    rows = []
+    for file in sorted(Path(wconfig.results).glob("wasserstein_*.json")):
+        rows.append(asdict(WassersteinDistanceResult.load(file)))
+    df = pd.DataFrame(rows)
+    out = Path(wconfig.results) / "wasserstein_distances.csv"
+    df.to_csv(out, index=False)
+    logger.info("Assembled %d results into %s.", len(df), out)
+    return df
+
+
+def comparison_wasserstein(
+    cls,
+    path,
+    compute: bool = False,
+    assemble: bool = False,
+    skip_existing: bool = False,
+):
+    """Compute or assemble cross-run Wasserstein distances."""
+    from ..config.multi_fluidflower_config import MultiFluidFlowerConfig
+
+    assert compute + assemble == 1, (
+        "Exactly one of compute/assemble must be True."
+    )
+    config = MultiFluidFlowerConfig(path, require_data=False, require_results=True)
+    assert config.wasserstein is not None
+    if compute:
+        return _compute(cls, config, skip_existing)
+    return _assemble(config)

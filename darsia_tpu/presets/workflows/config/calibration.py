@@ -47,6 +47,7 @@ class CalibrationMassConfig:
     data: Optional[TimeData] = None
     threshold: float = 0.2
     rois: list = field(default_factory=list)
+    maxiter: int = 20
 
     def load(
         self, sec: dict, color_embedding_registry=None, data_registry=None
@@ -63,6 +64,7 @@ class CalibrationMassConfig:
         )
         self.fluid = str(sub_sec.get("fluid", "co2")).strip()
         self.threshold = float(sub_sec.get("threshold", 0.2))
+        self.maxiter = int(sub_sec.get("maxiter", 20))
         self.rois = list(sub_sec.get("rois", []))
         if "data" in sub_sec:
             if data_registry is not None and isinstance(sub_sec["data"], str):

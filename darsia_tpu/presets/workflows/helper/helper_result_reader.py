@@ -1,0 +1,66 @@
+"""Result reader: re-export saved analysis fields in other formats.
+
+Parity: reference ``presets/workflows/helper/helper_result_reader.py``.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+
+from ....image.imread import imread
+from ..analysis.analysis_context import prepare_analysis_context
+from ..mode_resolution import SCALAR_PRODUCT_MODES
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["helper_results"]
+
+
+def helper_results(path, cls=None, show: bool = False) -> list:
+    """Load exported mass fields per [helper.results] and re-export."""
+    from ..rig import Rig
+
+    ctx = prepare_analysis_context(
+        cls=cls or Rig, path=path, section="helper"
+    )
+    config = ctx.config
+    assert config.helper is not None and config.helper.results is not None
+    results_config = config.helper.results
+    mode = results_config.mode
+    folder_mode = "mass" if mode in SCALAR_PRODUCT_MODES or "mass" in mode else mode
+    source = Path(config.analysis.mass.folder) / folder_mode / "npz"
+    if not source.exists():
+        source = Path(config.analysis.mass.folder) / mode / "npz"
+    files = sorted(source.glob("*.npz")) if source.exists() else []
+    out_dir = Path(config.data.results) / "helper" / mode
+    out_dir.mkdir(parents=True, exist_ok=True)
+    written = []
+    for file in files:
+        image = imread(file)
+        if results_config.format == "npz":
+            target = out_dir / file.name
+            image.save(target)
+        elif results_config.format in ("jpg", "png"):
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            target = out_dir / f"{file.stem}.{results_config.format}"
+            plt.imsave(
+                target,
+                np.asarray(image.img),
+                cmap=results_config.cmap or "viridis",
+            )
+        elif results_config.format == "csv":
+            target = out_dir / f"{file.stem}.csv"
+            np.savetxt(target, np.asarray(image.img), delimiter=",")
+        else:
+            raise ValueError(f"Unsupported format {results_config.format!r}.")
+        written.append(target)
+    logger.info("Re-exported %d result files to %s.", len(written), out_dir)
+    return written
