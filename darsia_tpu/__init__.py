@@ -391,3 +391,36 @@ from .assistants import (
     LabelsMergeAssistant,
     LabelsAssistant,
 )
+
+# ---- parity completions
+from .measure.beckmann_linalg import (
+    BeckmannLinearSolverType,
+    BeckmannLinearSolver,
+    BeckmannDirectSolver,
+    BeckmannAMGSolver,
+    BeckmannCGSolver,
+    BeckmannKSPSolver,
+    BeckmannKSPFieldSplitSolver,
+    BeckmannLinearSolverFactory,
+)
+from .corrections.color.colorcorrection import ClassicColorChecker
+from .experiment.protocols import ImagingProtocolOld
+from .multiphase.fluidflower_co2_meta import FluidFlowerCO2Meta
+from .presets.workflows.simple_run_analysis import SimpleMultiphaseTimeSeriesData
+from .utils.arithmetics import array_product
+from .utils import augmented_plotting
+from .utils import linalg
+from .utils.augmented_plotting import (
+    plot_contour_on_image,
+    plot_distribution_on_image,
+    plot_image_statistics,
+)
+from .assistants.labels_assistant import LabelsAssistantMenu, MonochromaticAssistant
+from .corrections.shape.curvature import (
+    load_curvature_correction_config_from_toml,
+    load_curvature_correction_config_from_dict,
+)
+
+# Vectorized replacements keep the reference's numba-suffixed names alive.
+color_to_index_numba = color_to_index
+flatten_index_numba = flatten_index

@@ -13,6 +13,7 @@ import numpy as np
 
 from ..image.image import Image
 from ..utils.segmentation import label_image, segment
+from .base_assistant import BaseAssistant
 from .selection_assistants import PointSelectionAssistant
 
 __all__ = [
@@ -21,6 +22,8 @@ __all__ = [
     "LabelsPickAssistant",
     "LabelsMergeAssistant",
     "LabelsAssistant",
+    "LabelsAssistantMenu",
+    "MonochromaticAssistant",
 ]
 
 
@@ -168,3 +171,57 @@ class LabelsAssistant:
         if self.labels is None:
             return self.segment()
         return self.labels
+
+
+class LabelsAssistantMenu(BaseAssistant):
+    """Interactive key-press menu of the reference LabelsAssistant
+    (reference labels_assistant.py:12-110).  Headless callers use the
+    direct LabelsAssistant methods instead."""
+
+    _ACTIONS = {
+        "s": "segment",
+        "r": "refine",
+        "p": "pick",
+        "m": "merge",
+        "e": "escape",
+    }
+
+    def __init__(self, img, background=None, **kwargs) -> None:
+        super().__init__(img, **kwargs)
+        self.background = background
+        self.action = None
+
+    def _print_instructions(self) -> None:
+        print("LabelsAssistant menu: s=segment r=refine p=pick m=merge e=exit")
+
+    def _on_key_press(self, event) -> None:
+        if event.key in self._ACTIONS:
+            self.action = self._ACTIONS[event.key]
+            import matplotlib.pyplot as plt
+
+            plt.close(self.fig)
+
+    def __call__(self) -> str:
+        self.action = None
+        super().__call__()
+        return self.action
+
+
+class MonochromaticAssistant:
+    """Pick a monochromatic representation of a color image.
+
+    Reference labels_assistant.py:204-288 cycles channels interactively;
+    headless callers pass ``color`` directly.
+    """
+
+    def __init__(self, img, color: str = "gray", **kwargs) -> None:
+        self.img = img
+        self.color = color
+
+    def __call__(self):
+        from ..signals.reduction.signalreduction import MonochromaticReduction
+
+        reduction = MonochromaticReduction(color=self.color)
+        out = self.img.copy()
+        out.img = reduction(self.img.img)
+        return out

@@ -109,6 +109,31 @@ class ColorCheckerAfter2014(ColorChecker):
         self._reference_swatches_rgb = rgb.astype(np.float32)
 
 
+# BabelColor average CIELAB values for the pre-Nov-2014 classic checker
+# (public constants), row-major 4x6 starting at "dark skin".
+_BABELCOLOR_LAB_CLASSIC = np.array(
+    [
+        [[37.99, 13.56, 14.06], [65.71, 18.13, 17.81], [49.93, -4.88, -21.93],
+         [43.14, -13.10, 21.91], [55.11, 8.84, -25.40], [70.72, -33.40, -0.20]],
+        [[62.66, 36.07, 57.10], [40.02, 10.41, -45.96], [51.12, 48.24, 16.25],
+         [30.33, 22.98, -21.59], [72.53, -23.71, 57.26], [71.94, 19.36, 67.86]],
+        [[28.78, 14.18, -50.30], [55.26, -38.34, 31.37], [42.10, 53.38, 28.19],
+         [81.73, 4.04, 79.82], [51.94, 49.99, -14.57], [51.04, -28.63, -28.64]],
+        [[96.54, -0.43, 1.19], [81.26, -0.64, -0.34], [66.77, -0.73, -0.50],
+         [50.87, -0.15, -0.27], [35.66, -0.42, -1.23], [20.46, -0.08, -0.97]],
+    ],
+    dtype=np.float32,
+)
+
+
+class ClassicColorChecker(ColorChecker):
+    """The classic X-Rite checker with pre-Nov-2014 reference colors."""
+
+    def __init__(self) -> None:
+        rgb = np.asarray(lab_to_rgb(jnp.asarray(_BABELCOLOR_LAB_CLASSIC)))
+        self._reference_swatches_rgb = rgb.astype(np.float32)
+
+
 class CustomColorChecker(ColorChecker):
     """Swatch colors extracted from a user-provided checker image."""
 

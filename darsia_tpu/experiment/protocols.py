@@ -258,3 +258,59 @@ class PressureTemperatureProtocol:
             pressure=float((p1 - p0) / (2 * dt_seconds)),
             temperature=float((t1 - t0) / (2 * dt_seconds)),
         )
+
+
+class ImagingProtocolOld:
+    """Interval-based imaging protocol (legacy format).
+
+    Parity: reference ``experiment/protocols.py:55-130`` — maps trailing
+    image-id digits in file names onto datetimes via ordered
+    :class:`ImagingInterval` entries; json save/load.
+    """
+
+    def __init__(self, intervals: Optional[list] = None, pad: int = 5) -> None:
+        self.intervals = intervals or []
+        self.pad = pad
+
+    def get_datetime(self, file_name: Path) -> Optional[datetime]:
+        current_id = int(Path(file_name).stem[-self.pad:])
+        interval = None
+        for candidate in self.intervals:
+            if candidate.contains(current_id):
+                interval = candidate
+            else:
+                break  # intervals are chronologically ordered
+        return interval.get_datetime(current_id) if interval else None
+
+    def save(self, file_name: Path) -> None:
+        import json
+
+        data = {
+            "pad": self.pad,
+            "intervals": [
+                {
+                    "start_id": i.start_id,
+                    "end_id": i.end_id,
+                    "start_datetime": i.start_datetime.isoformat(),
+                    "dt_seconds": i.dt_seconds,
+                }
+                for i in self.intervals
+            ],
+        }
+        Path(file_name).write_text(json.dumps(data, indent=2))
+
+    @classmethod
+    def load(cls, file_name: Path) -> "ImagingProtocolOld":
+        import json
+
+        data = json.loads(Path(file_name).read_text())
+        intervals = [
+            ImagingInterval(
+                start_id=int(entry["start_id"]),
+                end_id=int(entry["end_id"]),
+                start_datetime=datetime.fromisoformat(entry["start_datetime"]),
+                dt_seconds=float(entry["dt_seconds"]),
+            )
+            for entry in data["intervals"]
+        ]
+        return cls(intervals=intervals, pad=int(data["pad"]))

@@ -1,0 +1,64 @@
+"""Legacy meta-data loader for FluidFlower CO2 runs.
+
+Parity: reference ``multiphase/fluidflower_co2_meta.py:8-120`` (TOML meta
+file describing data/input/common folders; superseded by
+FluidFlowerConfig but kept for compatibility).
+"""
+
+from __future__ import annotations
+
+import tomllib
+from pathlib import Path
+
+__all__ = ["FluidFlowerCO2Meta"]
+
+
+class FluidFlowerCO2Meta:
+    """Meta data for FluidFlower CO2 analysis (legacy TOML format)."""
+
+    def __init__(self, meta: Path) -> None:
+        meta_data = self.load_meta(meta)
+
+        data_folder = Path(meta_data["data"]["folder"])
+        image_format = meta_data["data"].get("format", "JPG")
+        self.data = list(sorted(data_folder.glob(f"*.{image_format}")))
+        assert self.data, "No images found in the data folder."
+
+        baseline = meta_data["data"].get("baseline")
+        self.baseline = data_folder / baseline if baseline else None
+
+        if "pad" not in meta_data["data"]:
+            raise ValueError("Pad for image names must be specified.")
+        self.pad = int(meta_data["data"]["pad"])
+
+        input_section = meta_data.get("input", {})
+        self.input_folder = (
+            Path(input_section["folder"]) if "folder" in input_section else None
+        )
+        self.segmentation = (
+            self.input_folder / input_section["segmentation"]
+            if self.input_folder and "segmentation" in input_section
+            else None
+        )
+
+        common = meta_data.get("common", {})
+        self.common_folder = Path(common["folder"]) if "folder" in common else None
+        self.labels = (
+            self.common_folder / common["labels"]
+            if self.common_folder and "labels" in common
+            else None
+        )
+        self.depth_measurements = (
+            self.common_folder / "depth" / "depth_measurements.csv"
+            if self.common_folder
+            else None
+        )
+        self.results = (
+            Path(meta_data["results"]["folder"])
+            if "results" in meta_data
+            else None
+        )
+
+    @staticmethod
+    def load_meta(meta: Path) -> dict:
+        return tomllib.loads(Path(meta).read_text())

@@ -13,9 +13,12 @@ from typing import Optional
 import numpy as np
 
 from ...multiphase.mass_analysis import MassAnalysisResults
-from ...multiphase.time_series import MultiphaseTimeSeriesAnalysis
+from ...multiphase.time_series import (
+    MultiphaseTimeSeriesAnalysis,
+    MultiphaseTimeSeriesData,
+)
 
-__all__ = ["SimpleRunAnalysis"]
+__all__ = ["SimpleRunAnalysis", "SimpleMultiphaseTimeSeriesData"]
 
 
 class SimpleRunAnalysis(MultiphaseTimeSeriesAnalysis):
@@ -40,6 +43,23 @@ class SimpleRunAnalysis(MultiphaseTimeSeriesAnalysis):
             "mass_g": float(self.geometry.integrate(result.mass_g)),
             "mass_aq": float(self.geometry.integrate(result.mass_aq)),
         }
+
+    def reset(self) -> None:
+        super().reset()
+        self.names = []
+
+
+class SimpleMultiphaseTimeSeriesData(MultiphaseTimeSeriesData):
+    """Per-run time series with image names attached
+    (reference simple_run_analysis.py:58-168)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.names: list = []
+
+    def append(self, *args, name: str = "", **kwargs) -> None:
+        super().append(*args, **kwargs)
+        self.names.append(name)
 
     def reset(self) -> None:
         super().reset()
