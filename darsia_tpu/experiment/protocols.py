@@ -40,6 +40,34 @@ def _load_table(path) -> pd.DataFrame:
     raise ValueError(f"Unsupported protocol format {protocol_path.suffix}.")
 
 
+def _normalize_injection_columns(df: pd.DataFrame) -> pd.DataFrame:
+    """Normalize injection-rate columns onto ``rate_kg_s``.
+
+    Accepts the reference template variants: ``rate_kg/s`` (rename),
+    ``rate_sccm`` / ``rate_ml/min`` (converted with CO2 density at
+    standard conditions, 1.98 kg/m^3 — reference protocols.py:527-556).
+    """
+    if "rate_kg_s" in df.columns:
+        return df
+    if "rate_kg/s" in df.columns:
+        return df.rename(columns={"rate_kg/s": "rate_kg_s"})
+    density_co2 = 1.98  # kg/m^3 at standard conditions
+    if "rate_sccm" in df.columns:
+        df["rate_kg_s"] = (
+            df["rate_sccm"].astype(float) * density_co2 * 1e-6 / 60.0
+        )
+        return df
+    if "rate_ml/min" in df.columns:
+        df["rate_kg_s"] = (
+            df["rate_ml/min"].astype(float) * density_co2 * 1e-6 / 60.0
+        )
+        return df
+    raise ValueError(
+        "Injection protocol needs one of: rate_kg_s, rate_kg/s, rate_sccm, "
+        "rate_ml/min."
+    )
+
+
 def _parse_datetime(value) -> datetime:
     if isinstance(value, datetime):
         return value
@@ -177,7 +205,7 @@ class InjectionProtocol:
     """Injection intervals -> cumulative injected mass."""
 
     def __init__(self, path) -> None:
-        self.df = _load_table(path)
+        self.df = _normalize_injection_columns(_load_table(path))
         for col in ("start", "end"):
             self.df[col] = pd.to_datetime(self.df[col])
         self.num_injections = len(self.df)
@@ -239,6 +267,11 @@ class PressureTemperatureProtocol:
         self._times = np.array(
             [pd.Timestamp(t).timestamp() for t in self.df["datetime"]]
         )
+        # Accept the reference template column names as aliases.
+        if "pressure" not in self.df and "pressure_bar" in self.df:
+            self.df["pressure"] = self.df["pressure_bar"]
+        if "temperature" not in self.df and "temperature_celsius" in self.df:
+            self.df["temperature"] = self.df["temperature_celsius"]
         self._pressure = self.df["pressure"].to_numpy(dtype=float)
         self._temperature = self.df["temperature"].to_numpy(dtype=float)
 

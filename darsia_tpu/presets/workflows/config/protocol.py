@@ -37,7 +37,11 @@ class ProtocolConfig(SectionConfig):
     _spec = []
 
     def load(self, path, **_) -> "ProtocolConfig":
-        sec = get_section(path, "protocol")
+        # The reference TOML section is [protocols]; accept both spellings.
+        try:
+            sec = get_section(path, "protocols")
+        except KeyError:
+            sec = get_section(path, "protocol")
         self.imaging = _parse_path_spec(sec.get("imaging"))
         self.injection = _parse_path_spec(sec.get("injection"))
         self.blacklist = _parse_path_spec(sec.get("blacklist"))
