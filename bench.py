@@ -196,10 +196,10 @@ def main() -> None:
         wx = rbf_weights(vx)
         wy = rbf_weights(vy)
         dx, dy = eval_displacement(wx, wy)
-        dx = jnp.clip(dx, -120.0, 120.0)
-        dy = jnp.clip(dy, -120.0, 120.0)
+        dx = jnp.clip(dx, -119.0, 119.0)
+        dy = jnp.clip(dy, -119.0, 119.0)
         coords = id_grid + jnp.stack([-dy, -dx], axis=0)
-        registered = warp_two_pass(corrected, coords, 128)
+        registered = warp_two_pass(corrected, coords, 120)
 
         # Concentration pipeline.
         diff = jnp.clip(registered - base_corrected, 0.0, None)
@@ -228,13 +228,15 @@ def main() -> None:
     probe_dev = jnp.asarray(probe)
 
     # ---- Timing -----------------------------------------------------------
+    # NOTE: block_until_ready does not reliably wait under relayed TPU
+    # backends; fetching a scalar from the final output forces completion.
     out = step_jit(probe_dev, base_windows, base_corrected)
-    out.block_until_ready()  # compile + warmup
+    _ = float(out[0, 0])  # compile + warmup
     reps = 10
     tic = time.perf_counter()
     for _ in range(reps):
         out = step_jit(probe_dev, base_windows, base_corrected)
-    out.block_until_ready()
+    _ = float(out[0, 0])
     elapsed = (time.perf_counter() - tic) / reps
 
     mpix_s = mpix / elapsed

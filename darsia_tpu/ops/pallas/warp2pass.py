@@ -30,21 +30,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["warp_rows_pallas", "warp_two_pass"]
 
-_BR = 16  # rows per tile
+_BR = 256  # rows per tile (large tiles amortize pipeline overhead)
 _BC = 128  # output columns per tile == lane width
 
 
-def _row_warp_kernel(rel_ref, frac_ref, *refs, num_windows: int):
+def _row_warp_kernel(
+    cols_ref, *refs, num_windows: int, pad: int, w_in: int
+):
     """out[r, c] = lerp(window_chain[rel[r, c]], window_chain[rel+1], frac).
 
     The window chain is ``num_windows`` consecutive 128-wide blocks of the
     padded input; each gather stays within one vreg-width window and the
-    results are masked together.
+    results are masked together.  The fractional sample positions arrive
+    raw; clamping, floor and tile-relative offsets are computed on the VPU
+    (saves two full-size index arrays of HBM traffic per pass).
     """
     win_refs = refs[:num_windows]
     out_ref = refs[num_windows]
-    rel = rel_ref[:]
-    frac = frac_ref[:]
+    tile_start = (pl.program_id(1) * _BC).astype(jnp.float32)
+    cols_cl = jnp.clip(cols_ref[:], 0.0, float(w_in - 1))
+    rel_f = cols_cl + (float(pad) - tile_start)
+    base = jnp.floor(rel_f)
+    frac = (rel_f - base).astype(jnp.float32)
+    rel = jnp.clip(base, 0, num_windows * _BC - 2).astype(jnp.int32)
 
     def chain_gather(rel_idx):
         acc = jnp.zeros(rel_idx.shape, dtype=jnp.float32)
@@ -92,19 +100,9 @@ def warp_rows_pallas(
         data, ((0, R_pad - R), (P, max(right, 0))), mode="edge"
     )
 
-    # Window-chain-relative index: rel = clamp(cols) + P - t*BC.
     cols_p = jnp.pad(cols, ((0, R_pad - R), (0, Wo_pad - W_out)), mode="edge")
-    cols_cl = jnp.clip(cols_p, 0.0, W_in - 1.0)
-    tile_start = (
-        lax.broadcasted_iota(jnp.int32, (R_pad, Wo_pad), 1) // _BC
-    ) * _BC
-    rel_f = cols_cl + P - tile_start.astype(jnp.float32)
-    base = jnp.floor(rel_f)
-    frac = (rel_f - base).astype(jnp.float32)
-    rel = jnp.clip(base, 0, num_windows * _BC - 2).astype(jnp.int32)
 
     in_specs = [
-        pl.BlockSpec((_BR, _BC), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((_BR, _BC), lambda i, j: (i, j), memory_space=pltpu.VMEM),
     ]
     for w in range(num_windows):
@@ -119,7 +117,9 @@ def warp_rows_pallas(
     # Interpret mode on non-TPU backends (tests on the CPU mesh).
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
-        functools.partial(_row_warp_kernel, num_windows=num_windows),
+        functools.partial(
+            _row_warp_kernel, num_windows=num_windows, pad=P, w_in=W_in
+        ),
         out_shape=jax.ShapeDtypeStruct((R_pad, Wo_pad), jnp.float32),
         grid=(R_pad // _BR, num_tiles),
         in_specs=in_specs,
@@ -127,7 +127,7 @@ def warp_rows_pallas(
             (_BR, _BC), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(rel, frac, *([padded] * num_windows))
+    )(cols_p, *([padded] * num_windows))
     return out[:R, :W_out]
 
 
