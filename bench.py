@@ -48,7 +48,7 @@ def main() -> None:
 
     from darsia_tpu.corrections.shape.curvature import CurvatureCorrection
     from darsia_tpu.ops.color import rgb_to_gray
-    from darsia_tpu.ops.fft import phase_correlation
+    from darsia_tpu.ops.fft import phase_correlation_prepared, prepare_phase_reference
     from darsia_tpu.ops.pallas.warp2pass import warp_two_pass
     from darsia_tpu.ops.solvers import jacobi_solve
     from darsia_tpu.ops.warp import identity_grid, warp
@@ -176,7 +176,7 @@ def main() -> None:
     id_in = identity_grid((OH, OW))
     curv_disp = int(np.ceil(float(jnp.max(jnp.abs(curvature_grid - id_in))))) + 1
 
-    def step(img_u8, base_windows, base_corrected):
+    def step(img_u8, base_spectra, base_corrected):
         img = img_u8.astype(jnp.float32) / 255.0
         balanced = jnp.matmul(img, balance, precision="highest")
         corrected = warp_two_pass(balanced, curvature_grid, curv_disp)
@@ -184,7 +184,9 @@ def main() -> None:
         # Registration: batched phase correlation vs baseline windows.
         gray = rgb_to_gray(corrected)
         windows = extract_windows(gray)
-        shifts, quality = jax.vmap(phase_correlation)(windows, base_windows)
+        shifts, quality = jax.vmap(
+            lambda f, w: phase_correlation_prepared(f, w, win)
+        )(base_spectra, windows)
         accept = (quality > 0.02)[:, None]
         shifts = jnp.where(accept, shifts, 0.0)
         vx = jnp.concatenate(
@@ -221,7 +223,8 @@ def main() -> None:
         curv_disp0,
     )
     base_windows = extract_windows(rgb_to_gray(base_corrected))
-    base_windows.block_until_ready()
+    base_spectra = jax.vmap(prepare_phase_reference)(base_windows)
+    base_spectra.block_until_ready()
 
     # Probe image: perturbed baseline (keeps registration honest).
     probe = np.roll(base_u8, shift=(2, 3), axis=(0, 1))
@@ -230,12 +233,12 @@ def main() -> None:
     # ---- Timing -----------------------------------------------------------
     # NOTE: block_until_ready does not reliably wait under relayed TPU
     # backends; fetching a scalar from the final output forces completion.
-    out = step_jit(probe_dev, base_windows, base_corrected)
+    out = step_jit(probe_dev, base_spectra, base_corrected)
     _ = float(out[0, 0])  # compile + warmup
     reps = 10
     tic = time.perf_counter()
     for _ in range(reps):
-        out = step_jit(probe_dev, base_windows, base_corrected)
+        out = step_jit(probe_dev, base_spectra, base_corrected)
     _ = float(out[0, 0])
     elapsed = (time.perf_counter() - tic) / reps
 

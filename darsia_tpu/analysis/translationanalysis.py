@@ -25,7 +25,11 @@ from jax import lax
 from ..image.image import Image
 from ..image.patches import Patches
 from ..ops.color import rgb_to_gray
-from ..ops.fft import phase_correlation
+from ..ops.fft import (
+    phase_correlation,
+    phase_correlation_prepared,
+    prepare_phase_reference,
+)
 from ..ops.warp import identity_grid, warp
 from ..utils.interpolation import rbf_interpolate
 
@@ -140,14 +144,22 @@ class TranslationAnalysis:
         assert all(unit in ["metric", "pixel"] for unit in units)
         win, centers = self._window_geometry()
 
-        base_gray = _to_gray(jnp.asarray(self.base.img))
         img_gray = _to_gray(jnp.asarray(self.img.img))
         centers_j = jnp.asarray(centers, dtype=jnp.int32)
-        base_windows = self._extract_windows(base_gray, centers_j, win)
+        # The baseline spectra are fixed across a time series: precompute
+        # conj(F(base windows)) once and reuse (one forward FFT per image).
+        cache_key = (tuple(win), centers.tobytes())
+        if getattr(self, "_base_spectra_key", None) != cache_key:
+            base_gray = _to_gray(jnp.asarray(self.base.img))
+            base_windows = self._extract_windows(base_gray, centers_j, win)
+            self._base_spectra = jax.vmap(prepare_phase_reference)(base_windows)
+            self._base_spectra_key = cache_key
         img_windows = self._extract_windows(img_gray, centers_j, win)
 
         # One fused program: phase correlation across all patches.
-        shifts, qualities = jax.vmap(phase_correlation)(img_windows, base_windows)
+        shifts, qualities = jax.vmap(
+            lambda f, w: phase_correlation_prepared(f, w, tuple(win))
+        )(self._base_spectra, img_windows)
         shifts = np.asarray(shifts)  # (N, 2) in (row, col)
         qualities = np.asarray(qualities)
 

@@ -13,7 +13,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["phase_correlation", "masked_normalized_cross_correlation"]
+__all__ = [
+    "phase_correlation",
+    "prepare_phase_reference",
+    "phase_correlation_prepared",
+    "masked_normalized_cross_correlation",
+]
 
 
 def _parabolic_subpixel(r: jnp.ndarray, peak: jnp.ndarray) -> jnp.ndarray:
@@ -76,6 +81,52 @@ def phase_correlation(
     # Normalize response to a [0,1]-ish quality score.
     quality = jnp.clip(r.reshape(-1)[flat_peak], 0.0, 1.0)
     del response
+    return shift, quality
+
+
+def prepare_phase_reference(src: jnp.ndarray) -> jnp.ndarray:
+    """Precompute F(windowed reference) for repeated correlations against a
+    fixed destination (e.g. baseline windows in a time series).
+
+    ``phase_correlation_prepared(ref, img, shape)`` then matches
+    ``phase_correlation(img, reference)`` exactly with one forward FFT.
+    """
+    a = src.astype(jnp.float32)
+    H, W = a.shape
+    wy = jnp.hanning(H)[:, None] if H > 1 else jnp.ones((1, 1))
+    wx = jnp.hanning(W)[None, :] if W > 1 else jnp.ones((1, 1))
+    window = (wy * wx).astype(jnp.float32)
+    a = (a - a.mean()) * window
+    return jnp.fft.rfft2(a)
+
+
+def phase_correlation_prepared(
+    ref_spectrum: jnp.ndarray,
+    src: jnp.ndarray,
+    shape: tuple,
+    eps: float = 1e-8,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``phase_correlation(src, reference)`` with F(reference) precomputed
+    (one forward FFT per call instead of two)."""
+    H, W = shape
+    b = src.astype(jnp.float32)
+    wy = jnp.hanning(H)[:, None] if H > 1 else jnp.ones((1, 1))
+    wx = jnp.hanning(W)[None, :] if W > 1 else jnp.ones((1, 1))
+    window = (wy * wx).astype(jnp.float32)
+    b = (b - b.mean()) * window
+    Fb = jnp.fft.rfft2(b)
+    cross = ref_spectrum * jnp.conj(Fb)
+    cross = cross / (jnp.abs(cross) + eps)
+    r = jnp.fft.irfft2(cross, s=(H, W))
+    flat_peak = jnp.argmax(r)
+    peak = jnp.array([flat_peak // W, flat_peak % W])
+    refined = _parabolic_subpixel(r, peak)
+    shift = jnp.where(
+        refined > jnp.array([H / 2, W / 2]),
+        refined - jnp.array([H, W]),
+        refined,
+    )
+    quality = jnp.clip(r.reshape(-1)[flat_peak], 0.0, 1.0)
     return shift, quality
 
 
