@@ -38,26 +38,73 @@ def _box_sum(ii: np.ndarray, r0, c0, r1, c1):
     return ii[r1, c1] - ii[r0, c1] - ii[r1, c0] + ii[r0, c0]
 
 
-def _cell_stats(ii, ii2, r0, c0, h, w):
-    """Per-cell means and variances of the 4x6 grid inside a rectangle."""
+def _cell_stats_batch(ii, ii2, r0, c0, h, w):
+    """Per-cell means and variances of the 4x6 grid for a BATCH of
+    candidate rectangles (vectorized over positions).
+
+    Args:
+        r0, c0: int arrays of shape (N,) — rectangle corners.
+        h, w: scalar rectangle height/width (shared by the batch).
+
+    Returns:
+        means (N, 4, 6, 3), variances (N, 4, 6, 3).
+    """
     rows, cols = _GRID
-    # Inner margin of 18% per cell avoids the black grid lines.
+    r0 = np.atleast_1d(np.asarray(r0, dtype=np.int64))
+    c0 = np.atleast_1d(np.asarray(c0, dtype=np.int64))
     ch, cw = h / rows, w / cols
     margin_r, margin_c = int(0.18 * ch), int(0.18 * cw)
-    means = np.zeros(_GRID + (3,))
-    variances = np.zeros(_GRID + (3,))
-    for i in range(rows):
-        for j in range(cols):
-            a0 = int(r0 + i * ch) + margin_r
-            b0 = int(c0 + j * cw) + margin_c
-            a1 = max(int(r0 + (i + 1) * ch) - margin_r, a0 + 1)
-            b1 = max(int(c0 + (j + 1) * cw) - margin_c, b0 + 1)
-            n = (a1 - a0) * (b1 - b0)
-            s = _box_sum(ii, a0, b0, a1, b1)
-            s2 = _box_sum(ii2, a0, b0, a1, b1)
-            means[i, j] = s / n
-            variances[i, j] = np.maximum(s2 / n - (s / n) ** 2, 0.0)
+    i = np.arange(rows)
+    j = np.arange(cols)
+    # Cell corners: (N, rows) and (N, cols), margin-inset.
+    a0 = r0[:, None] + (i * ch).astype(np.int64)[None, :] + margin_r
+    a1 = r0[:, None] + ((i + 1) * ch).astype(np.int64)[None, :] - margin_r
+    a1 = np.maximum(a1, a0 + 1)
+    b0 = c0[:, None] + (j * cw).astype(np.int64)[None, :] + margin_c
+    b1 = c0[:, None] + ((j + 1) * cw).astype(np.int64)[None, :] - margin_c
+    b1 = np.maximum(b1, b0 + 1)
+    # Broadcast to (N, rows, cols).
+    A0, B0 = a0[:, :, None], b0[:, None, :]
+    A1, B1 = a1[:, :, None], b1[:, None, :]
+    n = ((A1 - A0) * (B1 - B0))[..., None]
+
+    def box(integral):
+        return (
+            integral[A1, B1] - integral[A0, B1] - integral[A1, B0] + integral[A0, B0]
+        )
+
+    s = box(ii)
+    s2 = box(ii2)
+    means = s / n
+    variances = np.maximum(s2 / n - means**2, 0.0)
     return means, variances
+
+
+def _cell_stats(ii, ii2, r0, c0, h, w):
+    """Single-rectangle variant of :func:`_cell_stats_batch`."""
+    means, variances = _cell_stats_batch(ii, ii2, [r0], [c0], h, w)
+    return means[0], variances[0]
+
+
+def _score_batch(means: np.ndarray, variances: np.ndarray) -> np.ndarray:
+    """Vectorized checker-likeness score over a batch (N, 4, 6, 3)."""
+    flat = means.reshape(means.shape[0], -1, 3)
+    inter = flat.std(axis=1).sum(axis=-1)
+    intra = np.sqrt(variances).mean(axis=(1, 2, 3)) * 3
+    luminance = flat.mean(axis=-1)
+    dynamic = luminance.max(axis=1) - luminance.min(axis=1)
+    row_saturation = np.abs(
+        means - means.mean(axis=-1, keepdims=True)
+    ).mean(axis=(2, 3))
+    gray_row = row_saturation.min(axis=1)
+    dh = np.linalg.norm(means[:, :, 1:] - means[:, :, :-1], axis=-1)
+    dv = np.linalg.norm(means[:, 1:, :] - means[:, :-1, :], axis=-1)
+    adjacent = np.concatenate(
+        [dh.reshape(means.shape[0], -1), dv.reshape(means.shape[0], -1)],
+        axis=1,
+    )
+    duplicate_fraction = (adjacent < 0.05).mean(axis=1)
+    return inter + dynamic - 4.0 * intra - 2.0 * gray_row - 3.0 * duplicate_fraction
 
 
 def _score(means: np.ndarray, variances: np.ndarray) -> float:
@@ -172,10 +219,17 @@ def find_colorchecker(
             continue
         stride_r = max((qh - rh) // 16, 2)
         stride_c = max((qw - rw) // 16, 2)
-        for r0 in range(0, qh - rh + 1, stride_r):
-            for c0 in range(0, qw - rw + 1, stride_c):
-                means, variances = _cell_stats(ii, ii2, r0, c0, rh, rw)
-                candidates.append((_score(means, variances), r0, c0, rh, rw))
+        r0s = np.arange(0, qh - rh + 1, stride_r)
+        c0s = np.arange(0, qw - rw + 1, stride_c)
+        R0, C0 = np.meshgrid(r0s, c0s, indexing="ij")
+        means, variances = _cell_stats_batch(
+            ii, ii2, R0.ravel(), C0.ravel(), rh, rw
+        )
+        scores = _score_batch(means, variances)
+        candidates.extend(
+            (float(s), int(r), int(c), rh, rw)
+            for s, r, c in zip(scores, R0.ravel(), C0.ravel())
+        )
 
     if not candidates:
         raise ValueError("Image too small for color checker detection.")
