@@ -21,3 +21,5 @@ from .segmentation_contours import (
     SegmentationContours,
 )
 from . import analysis, calibration, comparison, helper, setup, utils
+from .restoration import RestorationMaskFactory, build_restoration
+from .mass_computation import MassComputation

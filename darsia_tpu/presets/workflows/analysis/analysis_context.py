@@ -89,11 +89,14 @@ def select_image_paths(
 
 
 def build_restoration(restoration_config, rig: Rig):
-    """Instantiate the configured restoration (sized on the rig baseline)."""
+    """Instantiate the configured restoration with rig-derived ignore
+    masks (delegates to workflows.restoration.build_restoration)."""
+    from ..restoration import build_restoration as _build
+
     if restoration_config is None:
         return None
     try:
-        return restoration_config.make(img=rig.baseline)
+        return _build(restoration_config, rig)
     except Exception as e:
         warn(f"Restoration not built: {e}")
         return None
