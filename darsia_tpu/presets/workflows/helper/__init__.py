@@ -3,3 +3,5 @@
 headless-capable assistants)."""
 
 from .helper_result_reader import helper_results
+from .helper_color import color_report, launch_color_helper, helper_color
+from .helper_roi import helper_roi, helper_roi_viewer

@@ -9,7 +9,7 @@ import argparse
 import logging
 from pathlib import Path
 
-from .helper import helper_results
+from .helper import color_report, helper_color, helper_results, helper_roi_viewer
 from .rig import Rig
 
 logger = logging.getLogger(__name__)
@@ -27,6 +27,14 @@ def build_parser_for_helper() -> argparse.ArgumentParser:
         "--results", action="store_true",
         help="Re-export saved analysis fields per [helper.results].",
     )
+    parser.add_argument(
+        "--roi-viewer", action="store_true",
+        help="Render all registered ROIs over the baseline.",
+    )
+    parser.add_argument(
+        "--color", action="store_true",
+        help="Color statistics + histograms of the corrected baseline.",
+    )
     parser.add_argument("--show", action="store_true", help="Show plots.")
     return parser
 
@@ -36,6 +44,10 @@ def run_helper(rig_cls=Rig, args=None) -> None:
     path = config_paths if len(config_paths) > 1 else config_paths[0]
     if args.results:
         helper_results(path, cls=rig_cls, show=args.show)
+    if args.roi_viewer:
+        helper_roi_viewer(path, cls=rig_cls)
+    if args.color:
+        helper_color(path, cls=rig_cls)
 
 
 def main(argv=None) -> None:
