@@ -424,3 +424,4 @@ from .corrections.shape.curvature import (
 # Vectorized replacements keep the reference's numba-suffixed names alive.
 color_to_index_numba = color_to_index
 flatten_index_numba = flatten_index
+from .experiment.events import find_images_for_datetimes

@@ -16,3 +16,9 @@ from .calibration_color_to_mass_analysis import (
     calibration_color_to_mass_analysis_from_context,
     calibration_color_to_mass_analysis,
 )
+from .legacy import (
+    calibration_color_analysis,
+    calibration_color_signal,
+    calibration_flash,
+    calibration_mass_analysis,
+)
