@@ -17,6 +17,7 @@ from typing import Callable, Optional
 import numpy as np
 
 from ....analysis.contouranalysis import ContourAnalysis, contour_length
+from ....analysis.skeleton_analysis import PathEvolutionAnalysis
 from ..mode_resolution import mode_requires_color_to_mass
 from ..segmentation_contours import SimpleSegmentation
 from .analysis_context import AnalysisContext, prepare_analysis_context
@@ -55,6 +56,8 @@ def analysis_fingers_from_context(
     folder.mkdir(parents=True, exist_ok=True)
     csv_path = folder / "fingers_analysis_results.csv"
     df = pd.read_csv(csv_path) if csv_path.exists() else pd.DataFrame()
+    # Per-(entry, roi) path-evolution trackers for skeleton analysis.
+    evolutions: dict = {}
 
     publish_step_start(
         progress_callback, step="fingers", image_total=len(ctx.image_paths)
@@ -106,6 +109,14 @@ def analysis_fingers_from_context(
                     "number_fingers": int(len(peaks)),
                     "area_fraction": float(np.asarray(sub_mask).mean()),
                 }
+                if entry.include_skeleton_analysis:
+                    tracker = evolutions.setdefault(
+                        (key, roi_key), PathEvolutionAnalysis()
+                    )
+                    record = tracker.add(sub_mask, time=row["time"])
+                    row["skeleton_length"] = record.get("skeleton_length")
+                    row["number_tips"] = record.get("num_fingers")
+                    row["skeleton_growth"] = record.get("length_growth")
                 df = pd.concat([df, pd.DataFrame([row])], ignore_index=True)
         df.to_csv(csv_path, index=False)
         publish_image_progress(
