@@ -409,6 +409,47 @@ class BeckmannNewtonSolver(BeckmannProblem):
             tol_residual=options.get("tol_residual", np.finfo(float).max),
         )
 
+    def _traceable_mobility(self) -> bool:
+        """Cell-based mobility modes are pure jnp programs; face-based mode
+        reconstructs fluxes with host numpy and stays on the eager path."""
+        return self.mobility_mode in (
+            MobilityMode.CELL_BASED,
+            MobilityMode.CELL_BASED_HARMONIC,
+            MobilityMode.SUBCELL_BASED,
+        )
+
+    def _build_fused_step(self, mass_rhs: jnp.ndarray):
+        """One Newton iteration as a single XLA program: face weights ->
+        pressure CG -> flux update -> all convergence metrics.  One device
+        roundtrip per iteration instead of ~5 scalar fetches (dispatch
+        latency dominates the relayed-TPU loop otherwise)."""
+
+        def step(fluxes, p):
+            face_weights = self._cell_based_face_weights(fluxes)
+            p_new = self.pressure_solve(
+                face_weights, mass_rhs, jnp.zeros_like(p)
+            )
+            fluxes_new = self.flux_from_pressure(face_weights, p_new)
+            distance = self._l1_weighted(fluxes_new)
+            inc_sq = sum(
+                jnp.sum((fluxes_new[d] - fluxes[d]) ** 2)
+                for d in range(self.dim)
+            )
+            norm_sq = sum(jnp.sum(fluxes_new[d] ** 2) for d in range(self.dim))
+            residual = self._residual(
+                fluxes_new,
+                p_new,
+                face_weights,
+                mass_rhs,
+                jnp.maximum(distance, 1e-30),
+            )
+            metrics = jnp.stack([distance, inc_sq, norm_sq, residual])
+            return fluxes_new, p_new, metrics
+
+        import jax
+
+        return jax.jit(step)
+
     def solve_beckmann_problem(self, mass_diff: jnp.ndarray):
         mass_rhs = self.cell_vol * mass_diff
 
@@ -419,6 +460,12 @@ class BeckmannNewtonSolver(BeckmannProblem):
         p = self.pressure_solve(face_weights, mass_rhs, p)
         fluxes = self.flux_from_pressure(face_weights, p)
 
+        fused_step = (
+            self._build_fused_step(mass_rhs)
+            if self.anderson is None and self._traceable_mobility()
+            else None
+        )
+
         history = BeckmannConvergenceHistory()
         distance = self.l1_dissipation(fluxes)
         status = ConvergenceStatus.IN_PROGRESS
@@ -428,34 +475,48 @@ class BeckmannNewtonSolver(BeckmannProblem):
             old_fluxes = fluxes
             old_distance = distance
 
-            face_weights = self.compute_face_weights(fluxes)
-            # Solve from zero init: warm-starting lets the weakly
-            # constrained pressure in zero-flux regions drift unboundedly.
-            p = self.pressure_solve(face_weights, mass_rhs, jnp.zeros_like(p))
-            fluxes = self.flux_from_pressure(face_weights, p)
+            if fused_step is not None:
+                fluxes, p, metrics = fused_step(fluxes, p)
+                metrics = np.asarray(metrics, dtype=np.float64)
+                distance = float(metrics[0])
+                inc_sq = float(metrics[1])
+                flux_norm_sq = float(metrics[2])
+                residual_norm = float(metrics[3])
+            else:
+                face_weights = self.compute_face_weights(fluxes)
+                # Solve from zero init: warm-starting lets the weakly
+                # constrained pressure in zero-flux regions drift unboundedly.
+                p = self.pressure_solve(
+                    face_weights, mass_rhs, jnp.zeros_like(p)
+                )
+                fluxes = self.flux_from_pressure(face_weights, p)
 
-            if self.anderson is not None:
-                flat = self.flat_flux(fluxes)
-                flat_old = self.flat_flux(old_fluxes)
-                accelerated = self.anderson(flat, flat - flat_old, iter)
-                arrays = self.grid.face_arrays(accelerated)
-                fluxes = tuple(jnp.asarray(a, dtype=jnp.float32) for a in arrays)
+                if self.anderson is not None:
+                    flat = self.flat_flux(fluxes)
+                    flat_old = self.flat_flux(old_fluxes)
+                    accelerated = self.anderson(flat, flat - flat_old, iter)
+                    arrays = self.grid.face_arrays(accelerated)
+                    fluxes = tuple(
+                        jnp.asarray(a, dtype=jnp.float32) for a in arrays
+                    )
 
-            distance = self.l1_dissipation(fluxes)
-            inc_sq = sum(
-                float(jnp.sum((fluxes[d] - old_fluxes[d]) ** 2))
-                for d in range(self.dim)
-            )
-            flux_norm_sq = sum(
-                float(jnp.sum(fluxes[d] ** 2)) for d in range(self.dim)
-            )
+                distance = self.l1_dissipation(fluxes)
+                inc_sq = sum(
+                    float(jnp.sum((fluxes[d] - old_fluxes[d]) ** 2))
+                    for d in range(self.dim)
+                )
+                flux_norm_sq = sum(
+                    float(jnp.sum(fluxes[d] ** 2)) for d in range(self.dim)
+                )
+                residual_norm = self.residual_norms(
+                    fluxes, p, face_weights, mass_rhs
+                )
             flux_increment = float(np.sqrt(inc_sq))
             relative_flux_increment = flux_increment / max(
                 np.sqrt(flux_norm_sq), 1e-30
             )
             distance_inc = abs(distance - old_distance)
             relative_distance_increment = distance_inc / max(distance, 1e-30)
-            residual_norm = self.residual_norms(fluxes, p, face_weights, mass_rhs)
 
             history.append(
                 distance=distance,
@@ -543,6 +604,41 @@ class BeckmannBregmanSolver(BeckmannProblem):
             out.append(scaling * fluxes[k])
         return tuple(out)
 
+    def _traceable_mobility_bregman(self) -> bool:
+        return self.mobility_mode in (
+            MobilityMode.CELL_BASED,
+            MobilityMode.CELL_BASED_HARMONIC,
+            MobilityMode.SUBCELL_BASED,
+        )
+
+    def _build_fused_bregman_step(self, mass_rhs, scaled_weights, thresholds):
+        """One Bregman iteration (u-step CG + vectorial shrink + metrics) as
+        a single XLA program — one device roundtrip per iteration."""
+        import jax
+
+        def step(d_aux, b_aux, p):
+            db = tuple(d_aux[k] - b_aux[k] for k in range(self.dim))
+            div_db = bk.face_divergence(db, self.face_vol, self.dim)
+            p_new = self.pressure_solve(scaled_weights, mass_rhs - div_db, p)
+            correction = self.flux_from_pressure(scaled_weights, p_new)
+            fluxes = tuple(db[k] + correction[k] for k in range(self.dim))
+            dub = tuple(fluxes[k] + b_aux[k] for k in range(self.dim))
+            d_new = self._vector_shrink(dub, thresholds)
+            b_new = tuple(dub[k] - d_new[k] for k in range(self.dim))
+            distance = self._l1_weighted(fluxes)
+            inc_sq = sum(
+                jnp.sum((d_new[k] - d_aux[k]) ** 2)
+                + jnp.sum((b_new[k] - b_aux[k]) ** 2)
+                for k in range(self.dim)
+            )
+            norm_sq = sum(jnp.sum(fluxes[k] ** 2) for k in range(self.dim))
+            div = bk.face_divergence(fluxes, self.face_vol, self.dim)
+            residual = jnp.linalg.norm(div - mass_rhs)
+            metrics = jnp.stack([distance, inc_sq, norm_sq, residual])
+            return fluxes, p_new, d_new, b_new, metrics
+
+        return jax.jit(step)
+
     def solve_beckmann_problem(self, mass_diff: jnp.ndarray):
         mass_rhs = self.cell_vol * mass_diff
 
@@ -561,6 +657,16 @@ class BeckmannBregmanSolver(BeckmannProblem):
         history = BeckmannConvergenceHistory()
         status = ConvergenceStatus.IN_PROGRESS
 
+        # Fused Bregman iteration (one device roundtrip per iteration) —
+        # valid while weights/thresholds stay constant and mobility is
+        # traceable; adaptive reweighting falls back to the eager path.
+        fused = (
+            self.bregman_update is None and self._traceable_mobility_bregman()
+        )
+        fused_step = self._build_fused_bregman_step(
+            mass_rhs, scaled_weights, thresholds
+        ) if fused else None
+
         iter = 0
         for iter in range(self.convergence_criteria.num_iter):
             tic = time.time()
@@ -568,44 +674,54 @@ class BeckmannBregmanSolver(BeckmannProblem):
             old_distance = distance
             old_d, old_b = d_aux, b_aux
 
-            # u-step: (1/L) W M u - D^T p = (1/L) W M (d - b); D u = rhs.
-            db = tuple(d_aux[k] - b_aux[k] for k in range(self.dim))
-            div_db = bk.face_divergence(db, self.face_vol, self.dim)
-            p = self.pressure_solve(scaled_weights, mass_rhs - div_db, p)
-            correction = self.flux_from_pressure(scaled_weights, p)
-            fluxes = tuple(db[k] + correction[k] for k in range(self.dim))
+            if fused_step is not None:
+                fluxes, p, d_aux, b_aux, metrics = fused_step(
+                    d_aux, b_aux, p
+                )
+                metrics = np.asarray(metrics, dtype=np.float64)
+                distance = float(metrics[0])
+                inc_sq = float(metrics[1])
+                flux_norm_sq = float(metrics[2])
+                residual_norm = float(metrics[3])
+            else:
+                # u-step: (1/L) W M u - D^T p = (1/L) W M (d - b); D u = rhs.
+                db = tuple(d_aux[k] - b_aux[k] for k in range(self.dim))
+                div_db = bk.face_divergence(db, self.face_vol, self.dim)
+                p = self.pressure_solve(scaled_weights, mass_rhs - div_db, p)
+                correction = self.flux_from_pressure(scaled_weights, p)
+                fluxes = tuple(db[k] + correction[k] for k in range(self.dim))
 
-            # Vectorial shrinkage of u + b (isotropic, RT0-direction
-            # preserving; reference beckmann_bregman_solver.py:67-90).
-            dub = tuple(fluxes[k] + b_aux[k] for k in range(self.dim))
-            d_aux = self._vector_shrink(dub, thresholds)
-            b_aux = tuple(dub[k] - d_aux[k] for k in range(self.dim))
+                # Vectorial shrinkage of u + b (isotropic, RT0-direction
+                # preserving; reference beckmann_bregman_solver.py:67-90).
+                dub = tuple(fluxes[k] + b_aux[k] for k in range(self.dim))
+                d_aux = self._vector_shrink(dub, thresholds)
+                b_aux = tuple(dub[k] - d_aux[k] for k in range(self.dim))
 
-            # Optional adaptive reweighting.
-            if self.bregman_update is not None and self.bregman_update(iter):
-                face_weights = self.compute_face_weights(fluxes)
-                scaled_weights = tuple(w / self.L for w in face_weights)
-                thresholds = tuple(1.0 / w for w in face_weights)
+                # Optional adaptive reweighting.
+                if self.bregman_update is not None and self.bregman_update(iter):
+                    face_weights = self.compute_face_weights(fluxes)
+                    scaled_weights = tuple(w / self.L for w in face_weights)
+                    thresholds = tuple(1.0 / w for w in face_weights)
 
-            distance = self.l1_dissipation(fluxes)
-            # Bregman metrics (reference): aux/force increment vs flux norm,
-            # and the mass-conservation residual vs mass norm.
-            inc_sq = sum(
-                float(jnp.sum((d_aux[k] - old_d[k]) ** 2))
-                + float(jnp.sum((b_aux[k] - old_b[k]) ** 2))
-                for k in range(self.dim)
-            )
-            flux_norm_sq = sum(
-                float(jnp.sum(fluxes[k] ** 2)) for k in range(self.dim)
-            )
+                distance = self.l1_dissipation(fluxes)
+                # Bregman metrics (reference): aux/force increment vs flux
+                # norm, and the mass-conservation residual vs mass norm.
+                inc_sq = sum(
+                    float(jnp.sum((d_aux[k] - old_d[k]) ** 2))
+                    + float(jnp.sum((b_aux[k] - old_b[k]) ** 2))
+                    for k in range(self.dim)
+                )
+                flux_norm_sq = sum(
+                    float(jnp.sum(fluxes[k] ** 2)) for k in range(self.dim)
+                )
+                div = bk.face_divergence(fluxes, self.face_vol, self.dim)
+                residual_norm = float(jnp.linalg.norm(div - mass_rhs))
             flux_increment = float(np.sqrt(inc_sq))
             relative_flux_increment = flux_increment / max(
                 np.sqrt(flux_norm_sq), 1e-30
             )
             distance_inc = abs(distance - old_distance)
             relative_distance_increment = distance_inc / max(distance, 1e-30)
-            div = bk.face_divergence(fluxes, self.face_vol, self.dim)
-            residual_norm = float(jnp.linalg.norm(div - mass_rhs))
             history.append(
                 distance=distance,
                 distance_increment=distance_inc,
