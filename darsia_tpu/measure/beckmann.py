@@ -799,29 +799,25 @@ class BeckmannGproxPGHDSolver(BeckmannProblem):
         history = BeckmannConvergenceHistory()
         status = ConvergenceStatus.IN_PROGRESS
 
-        iter = 0
-        for iter in range(self.convergence_criteria.num_iter):
-            tic = time.time()
-            old_fluxes = fluxes
-            old_distance = distance
-
-            # Dual ascent with G-prox: phi += sigma * A^-1 (D u_bar - rhs).
+        def pdhg_step(fluxes, fluxes_bar, phi):
+            """One fused PDHG iteration + metrics (single roundtrip)."""
             div_residual = (
-                bk.face_divergence(fluxes_bar, self.face_vol, self.dim) - mass_rhs
+                bk.face_divergence(fluxes_bar, self.face_vol, self.dim)
+                - mass_rhs
             )
             poisson_update = self.pressure_solve(
                 unit_weights, div_residual, jnp.zeros_like(phi)
             )
-            phi = phi + self.sigma * poisson_update
+            phi_new = phi + self.sigma * poisson_update
 
             # Primal descent + vectorial shrinkage (prox of the isotropic
             # L1 of the RT0-reconstructed flux, as in Bregman).
-            grad = bk.pressure_gradient_faces(phi, self.face_vol, self.dim)
+            grad = bk.pressure_gradient_faces(phi_new, self.face_vol, self.dim)
             v = tuple(
                 fluxes[k] - self.tau * grad[k] / self.cell_vol
                 for k in range(self.dim)
             )
-            v_weights = self.compute_face_weights(v)
+            v_weights = self._cell_based_face_weights(v)
             new_fluxes = []
             for k in range(self.dim):
                 norm = 1.0 / v_weights[k]
@@ -831,30 +827,56 @@ class BeckmannGproxPGHDSolver(BeckmannProblem):
                 )
                 new_fluxes.append(scaling * v[k])
             new_fluxes = tuple(new_fluxes)
-            fluxes_bar = tuple(
+            bar = tuple(
                 2.0 * new_fluxes[k] - fluxes[k] for k in range(self.dim)
             )
-            fluxes = new_fluxes
-
-            distance = self.l1_dissipation(fluxes)
+            distance = self._l1_weighted(new_fluxes)
             inc_sq = sum(
-                float(jnp.sum((fluxes[k] - old_fluxes[k]) ** 2))
+                jnp.sum((new_fluxes[k] - fluxes[k]) ** 2)
                 for k in range(self.dim)
             )
-            flux_norm_sq = sum(
-                float(jnp.sum(fluxes[k] ** 2)) for k in range(self.dim)
+            norm_sq = sum(
+                jnp.sum(new_fluxes[k] ** 2) for k in range(self.dim)
             )
+            div_res = jnp.linalg.norm(
+                bk.face_divergence(new_fluxes, self.face_vol, self.dim)
+                - mass_rhs
+            )
+            metrics = jnp.stack([distance, inc_sq, norm_sq, div_res])
+            return new_fluxes, bar, phi_new, metrics
+
+        import jax
+
+        fused_step = (
+            jax.jit(pdhg_step)
+            if self.mobility_mode
+            in (
+                MobilityMode.CELL_BASED,
+                MobilityMode.CELL_BASED_HARMONIC,
+                MobilityMode.SUBCELL_BASED,
+            )
+            else pdhg_step
+        )
+
+        iter = 0
+        for iter in range(self.convergence_criteria.num_iter):
+            tic = time.time()
+            old_distance = distance
+
+            fluxes, fluxes_bar, phi, metrics = fused_step(
+                fluxes, fluxes_bar, phi
+            )
+            metrics = np.asarray(metrics, dtype=np.float64)
+            distance = float(metrics[0])
+            inc_sq = float(metrics[1])
+            flux_norm_sq = float(metrics[2])
+            div_res = float(metrics[3])
             flux_increment = float(np.sqrt(inc_sq))
             relative_flux_increment = flux_increment / max(
                 np.sqrt(flux_norm_sq), 1e-30
             )
             distance_inc = abs(distance - old_distance)
             relative_distance_increment = distance_inc / max(distance, 1e-30)
-            div_res = float(
-                jnp.linalg.norm(
-                    bk.face_divergence(fluxes, self.face_vol, self.dim) - mass_rhs
-                )
-            )
             history.append(
                 distance=distance,
                 distance_increment=distance_inc,
