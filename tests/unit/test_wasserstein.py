@@ -129,3 +129,20 @@ def test_geometry_integration():
         0.5 * np.ones((10, 20)), 2, (10, 20), [1.0, 2.0]
     )
     assert np.isclose(porous.integrate(arr), 1.0)
+
+
+def test_wasserstein_3d_two_cubes():
+    """3D Beckmann solve: two displaced cubes, mass-weighted W1."""
+    n = 12
+    src = np.zeros((n, n, n))
+    dst = np.zeros((n, n, n))
+    src[2:5, 2:5, 2:5] = 1.0
+    dst[6:9, 6:9, 6:9] = 1.0
+    s = da.Image(src, dimensions=[1.0, 1.0, 1.0], scalar=True, dim=3)
+    d = da.Image(dst, dimensions=[1.0, 1.0, 1.0], scalar=True, dim=3)
+    w = da.wasserstein_distance(
+        s, d, method="newton", options={"num_iter": 60, "tol_residual": 1e-5}
+    )
+    mass = 27 / n**3
+    expected = np.sqrt(3) * 4 / n * mass
+    assert float(w) == pytest.approx(expected, rel=0.05)
