@@ -116,7 +116,13 @@ def imread_from_bytes(data: bytes, transformations=None, **kwargs) -> Image:
 
 
 def imread_from_numpy(path, **kwargs) -> Image:
-    """Read a raw npy array as an Image."""
+    """Read a raw npy array (path or in-memory ndarray) as an Image."""
+    if isinstance(path, np.ndarray):
+        return Image(path, **kwargs)
+    if isinstance(path, list) and path and isinstance(path[0], np.ndarray):
+        array = np.stack(path, axis=kwargs.get("space_dim", 2))
+        kwargs.setdefault("series", True)
+        return Image(array, **kwargs)
     if isinstance(path, list):
         arrays = [np.load(p, allow_pickle=True) for p in path]
         array = np.stack(arrays, axis=kwargs.get("space_dim", 2))
