@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .halo import halo_exchange
 
@@ -89,7 +89,7 @@ def sharded_tvd(mesh: Mesh, mu: float = 0.1, omega: float = 1.0, iters: int = 10
         return jax.vmap(one)(batch_local)
 
     fn = shard_map(
-        per_shard, mesh=mesh, in_specs=(spec,), out_specs=spec, check_rep=False
+        per_shard, mesh=mesh, in_specs=(spec,), out_specs=spec
     )
     return jax.jit(fn)
 
@@ -144,6 +144,5 @@ def sharded_analysis_step(
         mesh=mesh,
         in_specs=(data_spec, base_spec),
         out_specs=out_spec,
-        check_rep=False,
     )
     return jax.jit(fn)

@@ -1,13 +1,124 @@
-"""Sharded TPFA CG vs single-device reference on the 8-device CPU mesh."""
+"""Sharded SPMD kernels vs single-device references on the 8-device CPU mesh.
+
+Mirrors the reference's Patches blending invariants
+(`/root/reference/src/darsia/image/patches.py:553`): a domain-decomposed
+computation must reproduce the undecomposed one.
+"""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
 
 from darsia_tpu.measure.beckmann_kernels import tpfa_apply, tpfa_cg
+from darsia_tpu.parallel import create_mesh, sharded_analysis_step, sharded_tvd
+from darsia_tpu.parallel.halo import halo_exchange
+from darsia_tpu.parallel.pipeline import _local_smooth_sweeps
 from darsia_tpu.parallel.tpfa import sharded_tpfa_cg
+
+MESH_SHAPES = [(8, 1), (4, 2), (2, 4)]
+
+
+def _require_mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("Needs the 8-device CPU mesh.")
+
+
+def test_halo_exchange_matches_padded_single_device():
+    """halo_exchange == edge-replicated pad of the gathered global array."""
+    _require_mesh()
+    H, W, halo = 32, 12, 2
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((H, W)), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("space",))
+
+    def per_shard(local):
+        ext = halo_exchange(local, halo, "space", axis=0)
+        # Interior slice back so output stays uniformly sharded.
+        return ext
+
+    fn = shard_map(
+        per_shard, mesh=mesh, in_specs=(P("space", None),),
+        out_specs=P("space", None),
+    )
+    out = np.asarray(jax.jit(fn)(x))  # (H + 8 * 2*halo, W), per-shard blocks
+
+    # Reference: edge-replicated global pad.
+    x_np = np.asarray(x)
+    padded = np.concatenate(
+        [np.repeat(x_np[:1], halo, axis=0), x_np, np.repeat(x_np[-1:], halo, axis=0)]
+    )
+    rows_per = H // 8
+    for s in range(8):
+        block = out[s * (rows_per + 2 * halo):(s + 1) * (rows_per + 2 * halo)]
+        expected = padded[s * rows_per:s * rows_per + rows_per + 2 * halo]
+        np.testing.assert_array_equal(block, expected)
+
+
+@pytest.mark.parametrize("mesh_shape", MESH_SHAPES)
+def test_sharded_tvd_matches_unsharded(mesh_shape):
+    _require_mesh()
+    mesh = create_mesh(mesh_shape, ("batch", "space"), devices=jax.devices()[:8])
+    B = 2 * mesh_shape[0]
+    H = 16 * mesh_shape[1]
+    W = 24
+    rng = np.random.default_rng(7)
+    batch = jnp.asarray(rng.random((B, H, W)), jnp.float32)
+    sharded = jax.device_put(
+        batch,
+        NamedSharding(
+            mesh,
+            P("batch", "space" if mesh_shape[1] > 1 else None, None),
+        ),
+    )
+    out = np.asarray(sharded_tvd(mesh, mu=0.15, iters=6)(sharded))
+
+    ref = np.asarray(
+        jax.vmap(
+            lambda s: _local_smooth_sweeps(s, s, 0.15, 1.0, 6, axis_name=None)
+        )(batch)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mesh_shape", MESH_SHAPES)
+def test_sharded_analysis_step_matches_unsharded(mesh_shape):
+    _require_mesh()
+    mesh = create_mesh(mesh_shape, ("batch", "space"), devices=jax.devices()[:8])
+    B = 2 * mesh_shape[0]
+    H = 16 * mesh_shape[1]
+    W = 24
+    rng = np.random.default_rng(11)
+    batch = jnp.asarray(rng.random((B, H, W, 3)), jnp.float32)
+    base = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    balance = jnp.asarray(
+        np.eye(3) * 1.02 + rng.normal(0, 0.01, (3, 3)), jnp.float32
+    )
+
+    space = "space" if mesh_shape[1] > 1 else None
+    batch_sh = jax.device_put(
+        batch, NamedSharding(mesh, P("batch", space, None, None))
+    )
+    base_sh = jax.device_put(base, NamedSharding(mesh, P(space, None, None)))
+    step = sharded_analysis_step(mesh, balance, scaling=1.7, tvd_iters=5, mu=0.1)
+    out = np.asarray(step(batch_sh, base_sh))
+
+    gray = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+
+    def reference(batch_full, base_full):
+        balanced = jnp.einsum("bhwc,cd->bhwd", batch_full, balance)
+        base_b = jnp.einsum("hwc,cd->hwd", base_full, balance)
+        diff = jnp.clip(balanced - base_b[None], 0.0, None)
+        signal = jnp.tensordot(diff, gray, axes=([-1], [0]))
+        restored = jax.vmap(
+            lambda s: _local_smooth_sweeps(s, s, 0.1, 1.0, 5, axis_name=None)
+        )(signal)
+        return 1.7 * restored
+
+    ref = np.asarray(jax.jit(reference)(batch, base))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
 def test_sharded_tpfa_cg_matches_single_device():
