@@ -309,14 +309,19 @@ class ColorCorrection(BaseCorrection):
                     jnp.asarray(ref_flat[pos]) / jnp.asarray(sw2_flat[pos])
                 )
         elif self.balancing == "darsia":
+            # Keep the (4, 6, 3) grid layout (ref colorcorrection.py:360-372):
+            # white balance fits on the 6-swatch neutral bottom row, color
+            # balance on the 18 chromatic swatches of the first three rows.
             balance = AdaptiveBalance()
-            sw = swatches.reshape(-1, 3)
-            ref = reference_swatches.reshape(-1, 3)
             if self.whitebalancing:
-                balance.find_balance(sw[-1:], ref[-1:], mode="diagonal")
+                balance.find_balance(
+                    swatches[-1].reshape(-1, 3),
+                    reference_swatches[-1].reshape(-1, 3),
+                    mode="diagonal",
+                )
             balance.find_balance(
-                sw[:-1],
-                ref[:-1],
+                swatches[:-1].reshape(-1, 3),
+                reference_swatches[:-1].reshape(-1, 3),
                 mode="affine" if self.colorbalancing == "affine" else "linear",
             )
             corrected = balance.apply_balance(img)

@@ -474,6 +474,7 @@ class BeckmannNewtonSolver(BeckmannProblem):
             tic = time.time()
             old_fluxes = fluxes
             old_distance = distance
+            old_p = p
 
             if fused_step is not None:
                 fluxes, p, metrics = fused_step(fluxes, p)
@@ -543,7 +544,9 @@ class BeckmannNewtonSolver(BeckmannProblem):
                 residual=relative_residual,
             )
             if status == ConvergenceStatus.DIVERGED:
-                fluxes, p, distance = old_fluxes, p, old_distance
+                # Restore the full pre-divergence state so the returned
+                # pressure stays consistent with the returned fluxes.
+                fluxes, p, distance = old_fluxes, old_p, old_distance
                 break
             if iter > 1 and status in (
                 ConvergenceStatus.CONVERGED,

@@ -28,10 +28,17 @@ class EMD:
             img_2 = self.preprocess(img_2)
         self._compatibility_check(img_1, img_2)
 
-        sig_1 = self._img_to_signature(img_1)
-        sig_2 = self._img_to_signature(img_2)
+        # cv2.EMD returns work / total-weight: normalize the signatures to
+        # unit mass and rescale by the total *physical* mass afterwards
+        # (reference emd.py:60-82: dist * integral * cell_volume), so the
+        # result is consistent with the Beckmann solvers for non-unit mass.
+        cell_volume = float(np.prod(np.asarray(img_1.voxel_size)))
+        integral = float(np.sum(np.asarray(img_1.img)))
+
+        sig_1 = self._img_to_signature(img_1, normalization=integral)
+        sig_2 = self._img_to_signature(img_2, normalization=integral)
         distance, _, _ = cv2.EMD(sig_1, sig_2, cv2.DIST_L2)
-        return float(distance)
+        return float(distance) * integral * cell_volume
 
     def _compatibility_check(self, img_1, img_2) -> None:
         assert img_1.space_dim == 2 and img_2.space_dim == 2
@@ -44,8 +51,10 @@ class EMD:
             raise ValueError("Images must have the same total mass.")
 
     @staticmethod
-    def _img_to_signature(img) -> np.ndarray:
+    def _img_to_signature(img, normalization: float = 1.0) -> np.ndarray:
         data = np.asarray(img.img, dtype=np.float32)
+        if normalization not in (0.0, 1.0):
+            data = data / np.float32(normalization)
         cs = img.coordinatesystem
         rows, cols = np.nonzero(data)
         values = data[rows, cols]

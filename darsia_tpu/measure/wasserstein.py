@@ -69,6 +69,10 @@ def wasserstein_distance_to_vtk(path: Path, info: dict) -> None:
             ("weighted_flux", Format.VECTOR),
             ("pressure", Format.SCALAR),
             ("transport_density", Format.SCALAR),
+            # Metric fields for weighted runs (ref wasserstein.py:88-89).
+            ("weight", Format.TENSOR),
+            ("weight_inv", Format.TENSOR),
         ]
+        if key in info
     ]
     to_vtk(path, data)

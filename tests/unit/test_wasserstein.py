@@ -93,6 +93,27 @@ def test_cv2_emd():
     assert np.isclose(distance, TRUE_DISTANCE, rtol=1e-2)
 
 
+def test_cv2_emd_mass_scaling():
+    """EMD scales linearly with total physical mass (ref emd.py:60-82).
+
+    cv2.EMD itself returns work/total-weight; the wrapper must rescale by
+    the integral so that scaling both inputs by c scales W1 by c.
+    """
+    src_img, dst_img = _problem()
+    base = da.wasserstein_distance(src_img, dst_img, method="cv2.emd")
+    src_img.img = 5.0 * np.asarray(src_img.img)
+    dst_img.img = 5.0 * np.asarray(dst_img.img)
+    scaled = da.wasserstein_distance(src_img, dst_img, method="cv2.emd")
+    assert np.isclose(scaled, 5.0 * base, rtol=1e-6)
+    # And matches the Beckmann solver on the same scaled problem.
+    options = dict(OPTIONS)
+    options["L"] = 1e9
+    newton, _ = da.wasserstein_distance(
+        src_img, dst_img, options=options, method="newton"
+    )
+    assert np.isclose(scaled, newton, rtol=3e-2)
+
+
 def test_newton_weighted():
     """Weighted W1: doubling the metric doubles the distance."""
     src_img, dst_img = _problem()
