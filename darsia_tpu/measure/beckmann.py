@@ -24,6 +24,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..utils.andersonacceleration import AndersonAcceleration
 from ..utils.convergence_status import ConvergenceStatus
@@ -41,6 +42,18 @@ __all__ = [
     "BeckmannConvergenceCriteria",
     "BeckmannConvergenceHistory",
 ]
+
+
+def peak_device_memory_gb() -> float:
+    """Peak device memory in GB (reference info-dict parity:
+    ``beckmann_problem.py:1186-1214`` tracks peak host memory)."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return float(stats.get("peak_bytes_in_use", 0)) / 1e9
+    except Exception:
+        return 0.0
 
 
 class L1Mode(str, Enum):
@@ -190,6 +203,19 @@ class BeckmannProblem:
         self.cg_maxiter = options.get("linear_solver_options", {}).get(
             "maxiter", 10 * int(np.max(self.shape))
         )
+        # Linear solver selection (reference: BeckmannLinearSolverFactory,
+        # beckmann_linalg.py:411): "cg" = Jacobi-PCG, "amg"/"mg" = geometric
+        # multigrid PCG, "auto" = MG on grids where Jacobi-CG iteration
+        # counts start growing (>= 64 cells on the smallest axis).
+        solver_name = str(options.get("linear_solver", "auto")).lower()
+        if solver_name in ("amg", "mg"):
+            self._use_mg = True
+        elif solver_name in ("cg", "jacobi", "jacobi-cg", "direct"):
+            self._use_mg = False
+        else:
+            self._use_mg = int(np.min(self.shape)) >= 64
+        self._mg_levels = bk.tpfa_mg_levels(self.shape) if self._use_mg else 1
+        self._mg_maxiter = min(self.cg_maxiter, 200)
 
         # Jitted closures for the per-iteration kernels (compiled once).
         import jax
@@ -323,6 +349,16 @@ class BeckmannProblem:
         self, face_weights: tuple, rhs_cells: jnp.ndarray, p0: jnp.ndarray
     ) -> jnp.ndarray:
         trans = self.transmissibilities(face_weights)
+        if self._use_mg:
+            return bk.tpfa_mg_pcg(
+                trans,
+                rhs_cells,
+                p0,
+                dim=self.dim,
+                tol=self.cg_tol,
+                maxiter=self._mg_maxiter,
+                levels=self._mg_levels,
+            )
         return bk.tpfa_cg(
             trans,
             rhs_cells,
@@ -418,13 +454,14 @@ class BeckmannNewtonSolver(BeckmannProblem):
             MobilityMode.SUBCELL_BASED,
         )
 
-    def _build_fused_step(self, mass_rhs: jnp.ndarray):
-        """One Newton iteration as a single XLA program: face weights ->
-        pressure CG -> flux update -> all convergence metrics.  One device
-        roundtrip per iteration instead of ~5 scalar fetches (dispatch
-        latency dominates the relayed-TPU loop otherwise)."""
+    def _fused_step_fn(self):
+        """Traceable single Newton iteration: face weights -> pressure
+        solve -> flux update -> all convergence metrics.  Shared by the
+        per-step jitted program and the whole-solve device loop.
+        ``mass_rhs`` is a traced argument so compiled programs are reused
+        across solves on the same grid."""
 
-        def step(fluxes, p):
+        def step(fluxes, p, mass_rhs):
             face_weights = self._cell_based_face_weights(fluxes)
             p_new = self.pressure_solve(
                 face_weights, mass_rhs, jnp.zeros_like(p)
@@ -446,9 +483,153 @@ class BeckmannNewtonSolver(BeckmannProblem):
             metrics = jnp.stack([distance, inc_sq, norm_sq, residual])
             return fluxes_new, p_new, metrics
 
+        return step
+
+    def _build_fused_step(self, mass_rhs: jnp.ndarray):
+        """One Newton iteration as a single XLA program (one device
+        roundtrip per iteration instead of ~5 scalar fetches)."""
         import jax
 
-        return jax.jit(step)
+        if getattr(self, "_fused_step_cache", None) is None:
+            self._fused_step_cache = jax.jit(self._fused_step_fn())
+        jitted = self._fused_step_cache
+        return lambda fluxes, p: jitted(fluxes, p, mass_rhs)
+
+    def _build_fused_solve(self):
+        """The ENTIRE Newton solve as one XLA program.
+
+        The outer iteration, convergence checks, divergence state-restore,
+        and per-iteration history all run inside a ``lax.while_loop``; the
+        host fetches one (num_iter, 4) metrics buffer at the end.  On a
+        relayed TPU the per-iteration dispatch roundtrip (~0.1 s) otherwise
+        dwarfs the ~3 ms compute of an MG-preconditioned step.
+
+        Returns a jitted ``solve(fluxes0, p0, distance0) -> (fluxes, p,
+        distance, num_steps, status_code, metrics_buf)`` with status codes
+        0 = iteration cap reached, 1 = converged, 2 = diverged (previous
+        state restored).  Buffer rows: distance, distance_increment,
+        residual, flux_increment.
+        """
+        import jax
+
+        if getattr(self, "_fused_solve_cache", None) is not None:
+            return self._fused_solve_cache
+
+        step = self._fused_step_fn()
+        cc = self.convergence_criteria
+        num_iter = int(cc.num_iter)
+        tol_inc = float(min(cc.tol_increment, np.finfo(np.float32).max))
+        tol_dist = float(min(cc.tol_distance, np.finfo(np.float32).max))
+        tol_res = float(min(cc.tol_residual, np.finfo(np.float32).max))
+
+        def solve(fluxes0, p0, distance0, mass_rhs):
+            buf0 = jnp.zeros((num_iter, 4), dtype=jnp.float32)
+            state0 = (
+                tuple(fluxes0),
+                p0,
+                jnp.asarray(distance0, jnp.float32),
+                jnp.int32(0),
+                jnp.int32(0),
+                jnp.float32(0.0),
+                buf0,
+            )
+
+            def cond(state):
+                _, _, _, k, status, _, _ = state
+                return jnp.logical_and(k < num_iter, status == 0)
+
+            def body(state):
+                fluxes, p, dist, k, status, res0, buf = state
+                fluxes_new, p_new, metrics = step(fluxes, p, mass_rhs)
+                distance = metrics[0]
+                flux_inc = jnp.sqrt(metrics[1])
+                rel_inc = flux_inc / jnp.maximum(jnp.sqrt(metrics[2]), 1e-30)
+                residual = metrics[3]
+                dist_inc = jnp.abs(distance - dist)
+                rel_dist = dist_inc / jnp.maximum(distance, 1e-30)
+                # Residual is normalized by the first recorded residual
+                # (host-loop parity: history.residual[0]).
+                res0_new = jnp.where(k == 0, residual, res0)
+                rel_res = residual / jnp.maximum(res0_new, 1e-30)
+                buf = buf.at[k].set(
+                    jnp.stack([distance, dist_inc, residual, flux_inc])
+                )
+                finite = (
+                    jnp.isfinite(distance)
+                    & jnp.isfinite(rel_inc)
+                    & jnp.isfinite(rel_res)
+                )
+                converged = (
+                    (rel_inc < tol_inc)
+                    & (rel_dist < tol_dist)
+                    & (rel_res < tol_res)
+                    & (k > 1)
+                )
+                status_new = jnp.where(
+                    ~finite, jnp.int32(2), jnp.where(converged, 1, 0)
+                ).astype(jnp.int32)
+                # On divergence keep the previous accepted state.
+                keep_old = ~finite
+                fluxes_out = tuple(
+                    jnp.where(keep_old, a, b)
+                    for a, b in zip(fluxes, fluxes_new)
+                )
+                p_out = jnp.where(keep_old, p, p_new)
+                dist_out = jnp.where(keep_old, dist, distance)
+                return (
+                    fluxes_out, p_out, dist_out, k + 1, status_new,
+                    res0_new, buf,
+                )
+
+            fluxes, p, dist, k, status, _, buf = lax.while_loop(
+                cond, body, state0
+            )
+            return fluxes, p, dist, k, status, buf
+
+        self._fused_solve_cache = jax.jit(solve)
+        return self._fused_solve_cache
+
+    def _solve_on_device(self, mass_rhs, fluxes, p, distance, history):
+        """Run the fully fused Newton solve and unpack history/info."""
+        fused_solve = self._build_fused_solve()
+        tic = time.time()
+        fluxes, p, dist, k, status_code, buf = fused_solve(
+            fluxes, p, distance, mass_rhs
+        )
+        k = int(k)
+        status_code = int(status_code)
+        buf = np.asarray(buf, dtype=np.float64)[:k]
+        total = time.time() - tic
+
+        per_iter = total / max(k, 1)
+        for row in buf:
+            history.append(
+                distance=float(row[0]),
+                distance_increment=float(row[1]),
+                residual=float(row[2]),
+                increment=float(row[3]),
+                timings={"total": per_iter},
+                total_run_time=per_iter,
+            )
+        distance = float(dist)
+        status = {
+            0: ConvergenceStatus.NOT_CONVERGED,
+            1: ConvergenceStatus.CONVERGED,
+            2: ConvergenceStatus.DIVERGED,
+        }[status_code]
+
+        unweighted = self.transport_density(fluxes, weighted=False)
+        flux_l1_norm = float(self.cell_vol * jnp.sum(unweighted))
+        info = {
+            "distance": distance,
+            "flux_l1_norm": flux_l1_norm,
+            "converged": status == ConvergenceStatus.CONVERGED,
+            "number_iterations": max(k - 1, 0),
+            "convergence_history": history.as_dict(),
+            "timings": {"total": total},
+            "peak_memory_consumption": peak_device_memory_gb(),
+        }
+        return distance, fluxes, p, info
 
     def solve_beckmann_problem(self, mass_diff: jnp.ndarray):
         mass_rhs = self.cell_vol * mass_diff
@@ -460,14 +641,18 @@ class BeckmannNewtonSolver(BeckmannProblem):
         p = self.pressure_solve(face_weights, mass_rhs, p)
         fluxes = self.flux_from_pressure(face_weights, p)
 
-        fused_step = (
-            self._build_fused_step(mass_rhs)
-            if self.anderson is None and self._traceable_mobility()
-            else None
-        )
+        fusable = self.anderson is None and self._traceable_mobility()
 
         history = BeckmannConvergenceHistory()
         distance = self.l1_dissipation(fluxes)
+
+        # Whole-solve device loop: no per-iteration host roundtrips.  Falls
+        # back to the host loop when per-iteration host work is requested
+        # (callbacks, verbose printing) or the step is not traceable.
+        if fusable and self.callbacks is None and not self.verbose:
+            return self._solve_on_device(mass_rhs, fluxes, p, distance, history)
+
+        fused_step = self._build_fused_step(mass_rhs) if fusable else None
         status = ConvergenceStatus.IN_PROGRESS
         iter = 0
         for iter in range(self.convergence_criteria.num_iter):
@@ -566,7 +751,7 @@ class BeckmannNewtonSolver(BeckmannProblem):
             "number_iterations": iter,
             "convergence_history": history.as_dict(),
             "timings": {"total": sum(h["total"] for h in history.timings)},
-            "peak_memory_consumption": 0.0,
+            "peak_memory_consumption": peak_device_memory_gb(),
         }
         return distance, fluxes, p, info
 
@@ -766,7 +951,7 @@ class BeckmannBregmanSolver(BeckmannProblem):
             "number_iterations": iter,
             "convergence_history": history.as_dict(),
             "timings": {"total": sum(h["total"] for h in history.timings)},
-            "peak_memory_consumption": 0.0,
+            "peak_memory_consumption": peak_device_memory_gb(),
         }
         return distance, fluxes, p, info
 
@@ -909,7 +1094,7 @@ class BeckmannGproxPGHDSolver(BeckmannProblem):
             "number_iterations": iter,
             "convergence_history": history.as_dict(),
             "timings": {"total": sum(h["total"] for h in history.timings)},
-            "peak_memory_consumption": 0.0,
+            "peak_memory_consumption": peak_device_memory_gb(),
         }
         # Kantorovich potential = phi (up to scaling).
         return distance, fluxes, phi, info

@@ -6,11 +6,12 @@ CG, KSP, KSP-FieldSplit + factory).
 TPU deviation: the reference wraps scipy ``splu``, pyamg
 smoothed-aggregation AMG and PETSc KSP; here every solver runs on the
 matrix-free TPFA stencil — dense solve for tiny systems, nullspace-
-projected Jacobi-preconditioned CG (the production path of
-:class:`BeckmannProblem`), and CG-limited "AMG" (the tensor-product grids
-make the projected CG with Jacobi equivalent in role to the reference's
-AMG-preconditioned KSP).  PETSc-style options dictionaries are accepted
-and mapped onto the corresponding tolerances.
+projected Jacobi-preconditioned CG, and a genuinely multilevel "AMG":
+CG preconditioned by a Galerkin geometric-MG V-cycle
+(:func:`darsia_tpu.measure.beckmann_kernels.tpfa_mg_pcg`), the structured-
+grid equivalent of pyamg smoothed aggregation / Hypre BoomerAMG.
+PETSc-style options dictionaries are accepted and mapped onto the
+corresponding tolerances.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from .beckmann_kernels import tpfa_apply, tpfa_cg
+from .beckmann_kernels import tpfa_apply, tpfa_cg, tpfa_mg_levels, tpfa_mg_pcg
 
 __all__ = [
     "BeckmannLinearSolverType",
@@ -119,23 +120,45 @@ class BeckmannDirectSolver(BeckmannLinearSolver):
         return jnp.asarray((x - x.mean()).reshape(self.shape))
 
 
-class BeckmannAMGSolver(BeckmannCGSolver):
-    """AMG-role solver.
+class BeckmannAMGSolver(BeckmannLinearSolver):
+    """Multilevel solver: CG preconditioned by a geometric-MG V-cycle.
 
     The reference builds pyamg smoothed aggregation on the assembled
-    sparse operator; on the structured TPFA grid the projected
-    Jacobi-preconditioned CG achieves the same role without assembly, so
-    this class tightens the iteration budget accordingly.
+    sparse operator (``beckmann_linalg.py:92-247``); on the structured
+    TPFA grid the Galerkin aggregation hierarchy is available in closed
+    form (:func:`darsia_tpu.measure.beckmann_kernels.tpfa_coarsen_trans`),
+    giving roughly grid-independent iteration counts without assembly.
     """
 
     def __init__(self, shape, options: Optional[dict] = None) -> None:
         options = dict(options or {})
-        options.setdefault("maxiter", 1000)
+        options.setdefault("maxiter", 200)
         super().__init__(shape, options)
+        self.levels = int(options.get("levels", tpfa_mg_levels(self.shape)))
+
+    def solve(self, rhs, x0=None):
+        assert self.trans is not None, "Call setup(trans) first."
+        rhs = jnp.asarray(rhs).reshape(self.shape)
+        x0 = (
+            jnp.zeros(self.shape, rhs.dtype)
+            if x0 is None
+            else jnp.asarray(x0).reshape(self.shape)
+        )
+        return tpfa_mg_pcg(
+            self.trans,
+            rhs,
+            x0,
+            dim=self.dim,
+            tol=self.tol,
+            maxiter=self.max_iter,
+            levels=self.levels,
+        )
 
 
-class BeckmannKSPSolver(BeckmannCGSolver):
-    """PETSc-KSP facade: accepts petsc-style options, runs projected CG."""
+class BeckmannKSPSolver(BeckmannAMGSolver):
+    """PETSc-KSP facade: accepts petsc-style options, runs MG-preconditioned
+    projected CG (the reference KSP default is Hypre-AMG-preconditioned CG,
+    ``beckmann_linalg.py:249-347``)."""
 
     def __init__(self, shape, options: Optional[dict] = None) -> None:
         options = dict(options or {})
