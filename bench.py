@@ -14,6 +14,12 @@ precompute, RBF factorization) is excluded, as in production.
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the BASELINE.md north-star target of 200 Mpix/s on one v5e chip
 (the reference itself publishes no numbers and runs single-core CPU).
+
+The JSON line also carries the OT-core metric (W1 Newton solve on a 512^2
+weighted problem, steady-state seconds + iterations) in "extra", and every
+run is appended to PERF_HISTORY.jsonl so perf drifts are recorded.
+Run with --trace to emit a jax.profiler trace of one pipeline step to
+/tmp/darsia_tpu_trace.
 """
 
 from __future__ import annotations
@@ -21,6 +27,7 @@ from __future__ import annotations
 import json
 import sys
 import time
+from datetime import datetime, timezone
 from pathlib import Path
 
 import numpy as np
@@ -29,6 +36,7 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 IMAGE_PATH = Path("/root/reference/examples/images/baseline.jpg")
 TARGET_MPIX_S = 200.0
+HISTORY_PATH = Path(__file__).parent / "PERF_HISTORY.jsonl"
 
 
 def _load_image() -> np.ndarray:
@@ -41,10 +49,85 @@ def _load_image() -> np.ndarray:
     return (rng.random((1788, 3180, 3)) * 255).astype(np.uint8)
 
 
+def measure_wasserstein() -> dict:
+    """OT-core benchmark: W1 Newton on a 512^2 weighted problem.
+
+    Exercises the MG-preconditioned TPFA pressure solves inside the fully
+    fused on-device Newton loop (beckmann.py).  Steady-state seconds (the
+    production regime: one compiled program reused over a time series of
+    mass images) plus iteration count.
+    """
+    import darsia_tpu as da
+
+    n = 512
+    src = np.zeros((n, n))
+    dst = np.zeros((n, n))
+    q = n // 10
+    src[2 * q : 5 * q, 2 * q : 5 * q] = 1.0
+    dst[1 * q : 3 * q, 1 * q : 2 * q] = 1.0
+    dst[4 * q : 7 * q, 7 * q : 9 * q] = 1.0
+    meta = {"width": 1, "height": 1, "scalar": True}
+    src_img, dst_img = da.Image(src, **meta), da.Image(dst, **meta)
+    geometry = da.Geometry(**src_img.shape_metadata())
+    src_img.img = np.asarray(src_img.img) / geometry.integrate(src_img)
+    dst_img.img = np.asarray(dst_img.img) / geometry.integrate(dst_img)
+    # Heterogeneous metric: smooth weight field in [1, 3].
+    yy, xx = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n), indexing="ij")
+    weight = da.ScalarImage(
+        (2.0 + np.sin(4 * np.pi * xx) * np.cos(2 * np.pi * yy)).astype(np.float32),
+        width=1,
+        height=1,
+    )
+
+    from darsia_tpu.measure.beckmann import BeckmannNewtonSolver
+    from darsia_tpu.utils.grid import generate_grid
+
+    options = {
+        "num_iter": 100,
+        "L": 1e9,
+        "tol_residual": 1e-3,
+        "tol_increment": 1e-3,
+        "tol_distance": 1e-3,
+    }
+    solver = BeckmannNewtonSolver(generate_grid(dst_img), weight, options)
+    import jax.numpy as jnp
+
+    mass_diff = jnp.asarray(
+        np.asarray(dst_img.img) - np.asarray(src_img.img), jnp.float32
+    )
+    # Warmup (compile), then steady state.
+    solver.solve_beckmann_problem(mass_diff)
+    tic = time.perf_counter()
+    distance, _, _, info = solver.solve_beckmann_problem(mass_diff)
+    elapsed = time.perf_counter() - tic
+    return {
+        "w1_newton_512_weighted_s": round(elapsed, 3),
+        "w1_newton_512_iterations": int(info["number_iterations"]) + 1,
+        "w1_newton_512_distance": round(float(distance), 6),
+    }
+
+
+def _record_history(payload: dict) -> None:
+    row = dict(payload)
+    row["timestamp"] = datetime.now(timezone.utc).isoformat()
+    try:
+        with open(HISTORY_PATH, "a") as f:
+            f.write(json.dumps(row) + "\n")
+    except OSError:
+        pass
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
     from jax import lax
+
+    # Persistent compilation cache: repeat bench runs skip XLA recompiles.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     from darsia_tpu.corrections.shape.curvature import CurvatureCorrection
     from darsia_tpu.ops.color import rgb_to_gray
@@ -235,6 +318,14 @@ def main() -> None:
     # backends; fetching a scalar from the final output forces completion.
     out = step_jit(probe_dev, base_spectra, base_corrected)
     _ = float(out[0, 0])  # compile + warmup
+
+    if "--trace" in sys.argv:
+        trace_dir = "/tmp/darsia_tpu_trace"
+        with jax.profiler.trace(trace_dir):
+            out = step_jit(probe_dev, base_spectra, base_corrected)
+            _ = float(out[0, 0])
+        print(f"# jax.profiler trace written to {trace_dir}", file=sys.stderr)
+
     reps = 10
     tic = time.perf_counter()
     for _ in range(reps):
@@ -243,16 +334,17 @@ def main() -> None:
     elapsed = (time.perf_counter() - tic) / reps
 
     mpix_s = mpix / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "Mpix/s corrected+registered+concentration (4K image)",
-                "value": round(mpix_s, 2),
-                "unit": "Mpix/s",
-                "vs_baseline": round(mpix_s / TARGET_MPIX_S, 3),
-            }
-        )
-    )
+
+    extra = measure_wasserstein()
+    payload = {
+        "metric": "Mpix/s corrected+registered+concentration (4K image)",
+        "value": round(mpix_s, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / TARGET_MPIX_S, 3),
+        "extra": extra,
+    }
+    _record_history(payload)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -158,7 +158,11 @@ from .analysis.contour_smoother import (
     GaussianSmoother,
     SavitzkyGolaySmoother,
 )
-from .analysis.skeleton_analysis import SkeletonAnalysis, PathEvolutionAnalysis
+from .analysis.skeleton_analysis import (
+    SkeletonAnalysis,
+    PathEvolutionAnalysis,
+    PathUnit,
+)
 from .analysis.model_calibration import (
     AbstractModelObjective,
     InjectionRateModelObjectiveMixin,

@@ -7,13 +7,14 @@ Parity: reference
 
 from __future__ import annotations
 
+from collections import namedtuple
 from typing import Optional
 
 import numpy as np
 
 from ..utils.morphology import skeletonize
 
-__all__ = ["SkeletonAnalysis", "PathEvolutionAnalysis"]
+__all__ = ["SkeletonAnalysis", "PathEvolutionAnalysis", "PathUnit"]
 
 
 class SkeletonAnalysis:
@@ -67,23 +68,63 @@ class SkeletonAnalysis:
         return np.argwhere(mask)
 
 
+# A uniquely identified location within the collection of paths (reference
+# path_evolution_analysis.py:20).
+PathUnit = namedtuple("PathUnit", ["time", "id", "position"])
+
+
 class PathEvolutionAnalysis:
-    """Track finger-path evolution over a time series of masks."""
+    """Track evolving point features (finger tips, skeleton leaves, ...)
+    across a time series, assigning per-finger identity.
+
+    Parity: reference ``single_image_analysis/path_evolution_analysis.py:
+    25-305`` — points added per time step are matched to the previous
+    step's points by the same ordered recursive nearest-pair rule (the
+    globally closest pair splits the remaining candidates into "before"
+    and "after" blocks, preserving lateral finger ordering), connected
+    matches extend existing paths, unmatched new points start new paths.
+    """
 
     def __init__(self, verbosity: bool = False) -> None:
+        self.points: dict[int, np.ndarray] = {}
+        self.paths: list[list[PathUnit]] = []
         self.verbosity = verbosity
-        self.history: list[dict] = []
+        self.times: list[float] = []
+        self.total_time: int = 0
+        self.history: list[dict] = []  # mask-level records (add_mask)
 
-    def add(self, img, time: Optional[float] = None) -> dict:
-        """Analyze one time step: skeleton, tip positions, advance metrics."""
+    # ------------------------------------------------------------ ingestion
+
+    def add(self, points: np.ndarray, time: Optional[float] = None) -> None:
+        """Add (N, 2) points for a new time step."""
+        if time is None:
+            raise ValueError("Time cannot be None when adding points.")
+        self.times.append(float(time))
+        self.times.sort()
+        index = self.times.index(float(time))
+        self.points = {i + (i >= index): p for i, p in self.points.items()}
+        self.points[index] = np.asarray(points).copy()
+        self.total_time = len(self.times)
+
+    def add_mask(self, img, time: Optional[float] = None) -> dict:
+        """Analyze one mask time step: skeleton, tips, advance metrics.
+
+        Tips (skeleton endpoints) are fed into the path tracker; the
+        returned record carries the per-step skeleton statistics the
+        fingers workflow step consumes.
+        """
         analysis = SkeletonAnalysis()
         analysis.load(img)
         tips = analysis.endpoints()
+        junctions = analysis.branch_points()
+        t = time if time is not None else float(len(self.history))
+        self.add(tips, time=t)
         record = {
             "time": time,
             "skeleton_length": analysis.skeleton_length(),
             "num_fingers": len(tips),
             "tips": tips,
+            "num_junctions": len(junctions),
         }
         if self.history:
             prev = self.history[-1]
@@ -93,8 +134,163 @@ class PathEvolutionAnalysis:
         self.history.append(record)
         return record
 
+    # --------------------------------------------------------- path finding
+
+    def _find_paths(self, points: dict[int, np.ndarray]) -> list:
+        paths: list[list[PathUnit]] = []
+
+        def _reshape(array: np.ndarray) -> np.ndarray:
+            arr = np.asarray(array)
+            if arr.size == 0:
+                return np.zeros((0, 2), dtype=int)
+            return np.squeeze(arr).reshape(-1, 2)
+
+        def _same_unit(a: PathUnit, b: PathUnit) -> bool:
+            return a.time == b.time and np.allclose(a.position, b.position)
+
+        def _include_segments(t_prev, t_next, segments, pts_prev, pts_next):
+            for segment in segments:
+                unit_prev = PathUnit(t_prev, segment[0], pts_prev[segment[0]])
+                unit_next = PathUnit(t_next, segment[1], pts_next[segment[1]])
+                for path in paths:
+                    if _same_unit(path[-1], unit_prev):
+                        path.append(unit_next)
+                        break
+                else:
+                    paths.append([unit_prev, unit_next])
+
+        def _include_points(t_next, indices, pts_next):
+            for i in indices:
+                paths.append([PathUnit(t_next, i, pts_next[i])])
+
+        if self.total_time == 1:
+            pts = _reshape(points.get(0, np.zeros((0, 2), dtype=int)))
+            _include_points(0, range(len(pts)), pts)
+            return paths
+
+        for t in range(self.total_time - 1):
+            pts_prev = _reshape(points.get(t, np.zeros((0, 2), dtype=int)))
+            pts_next = _reshape(points.get(t + 1, np.zeros((0, 2), dtype=int)))
+
+            pairs: list[np.ndarray] = []
+            new_paths: list[int] = []
+
+            if len(pts_prev) == 0 and len(pts_next) > 0:
+                _include_points(t + 1, range(len(pts_next)), pts_next)
+                continue
+            if len(pts_next) == 0 or len(pts_prev) == 0:
+                continue
+
+            # Ordered recursive matching: the globally nearest pair splits
+            # the candidate index blocks (keeps lateral finger ordering).
+            dist = np.linalg.norm(
+                pts_prev[:, None, :].astype(float)
+                - pts_next[None, :, :].astype(float),
+                axis=-1,
+            )
+            blocks = [(slice(0, len(pts_prev)), slice(0, len(pts_next)))]
+            for _ in range(max(len(pts_prev), len(pts_next))):
+                if not blocks:
+                    break
+                ind_prev, ind_next = blocks.pop(0)
+                local = dist[ind_prev, ind_next]
+                ncols = local.shape[1]
+                flat = int(np.argmin(np.ravel(local)))
+                argmin = np.array([flat // ncols, flat % ncols]) + np.array(
+                    [ind_prev.start, ind_next.start]
+                )
+                pairs.append(argmin)
+
+                pre = (
+                    slice(ind_prev.start, argmin[0]),
+                    slice(ind_next.start, argmin[1]),
+                )
+                post = (
+                    slice(argmin[0] + 1, ind_prev.stop),
+                    slice(argmin[1] + 1, ind_next.stop),
+                )
+
+                def _nonempty(sl: slice) -> bool:
+                    return sl.stop - sl.start > 0
+
+                if _nonempty(post[0]) and _nonempty(post[1]):
+                    blocks.insert(0, post)
+                elif _nonempty(post[1]):
+                    new_paths.extend(range(post[1].start, post[1].stop))
+                if _nonempty(pre[0]) and _nonempty(pre[1]):
+                    blocks.insert(0, pre)
+                elif _nonempty(pre[1]):
+                    new_paths.extend(range(pre[1].start, pre[1].stop))
+
+            pairs_arr = np.array(pairs).reshape(-1, 2)
+            if pairs_arr.shape[0] > 0:
+                pairs_arr = pairs_arr[np.argsort(pairs_arr[:, 0])]
+            new_arr = np.sort(np.array(new_paths, dtype=int))
+            _include_segments(t, t + 1, pairs_arr, pts_prev, pts_next)
+            _include_points(t + 1, new_arr, pts_next)
+
+        return paths
+
+    def find_paths(self, reset: bool = True) -> None:
+        if reset:
+            self.paths = []
+        self.paths.extend(self._find_paths(self.points))
+
+    # ----------------------------------------------------------- statistics
+
+    def path_counts(self, time_index: int) -> dict:
+        """Per-step identity statistics: active / new / continuing / ending
+        finger counts (schema of the reference fingers step,
+        analysis_fingers.py:940-980)."""
+        if not self.paths:
+            self.find_paths()
+        active = new = continuing = ending = 0
+        for path in self.paths:
+            times = [unit.time for unit in path]
+            if time_index in times:
+                active += 1
+                if times[0] == time_index:
+                    new += 1
+                else:
+                    continuing += 1
+                if times[-1] == time_index and time_index < self.total_time - 1:
+                    ending += 1
+        return {
+            "active": active,
+            "new": new,
+            "continuing": continuing,
+            "ending": ending,
+        }
+
+    def advance_rates(self) -> list[dict]:
+        """Per-finger advance statistics over each path's lifetime."""
+        if not self.paths:
+            self.find_paths()
+        stats = []
+        for i, path in enumerate(self.paths):
+            positions = np.asarray([unit.position for unit in path], dtype=float)
+            t0, t1 = path[0].time, path[-1].time
+            times = [self.times[unit.time] for unit in path]
+            duration = times[-1] - times[0] if len(times) > 1 else 0.0
+            total = (
+                float(np.linalg.norm(positions[-1] - positions[0]))
+                if len(positions) > 1
+                else 0.0
+            )
+            stats.append(
+                {
+                    "path_id": i,
+                    "birth_index": int(t0),
+                    "death_index": int(t1),
+                    "lifetime_steps": len(path),
+                    "total_advance": total,
+                    "advance_rate": total / duration if duration > 0 else 0.0,
+                }
+            )
+        return stats
+
     def tip_advance(self) -> np.ndarray:
-        """Per-step maximal tip advance (rows) over the history."""
+        """Per-step maximal tip advance (rows) over the mask history."""
         advances = []
         for prev, curr in zip(self.history[:-1], self.history[1:]):
             if len(prev["tips"]) == 0 or len(curr["tips"]) == 0:
@@ -104,3 +300,60 @@ class PathEvolutionAnalysis:
                 float(curr["tips"][:, 0].max() - prev["tips"][:, 0].max())
             )
         return np.array(advances)
+
+    # ------------------------------------------------------------- plotting
+
+    def plot_paths(
+        self,
+        img=None,
+        roi=None,
+        path=None,
+        show: bool = False,
+        dpi: int = 300,
+        **kwargs,
+    ) -> None:
+        """Overlay tracked paths on an image, line width scaled by path
+        length (reference path_evolution_analysis.py:67-142)."""
+        import matplotlib.pyplot as plt
+
+        if img is None:
+            raise ValueError("img cannot be None when plotting paths.")
+        if not self.paths:
+            self.find_paths()
+
+        data = np.asarray(img.img if hasattr(img, "img") else img)
+        plt.figure("Paths")
+        plt.imshow(data)
+
+        max_len = max(
+            (len(p) for p in self.paths), default=1
+        )
+        color = kwargs.get("color", "viridis")
+        cmap = (
+            plt.get_cmap(color)
+            if color in plt.colormaps()
+            else (lambda _x: color)
+        )
+        alpha = kwargs.get("alpha", 1.0)
+        denominator = max(len(self.paths) - 1, 1)
+        for i, p in enumerate(self.paths):
+            pos = np.asarray([unit.position for unit in p])
+            plt.plot(
+                pos[:, 1],
+                pos[:, 0],
+                color=cmap(i / denominator),
+                linewidth=max(len(p) / max_len * 2, 0.5),
+                alpha=alpha,
+            )
+        plt.axis("off")
+        if path is not None:
+            from pathlib import Path as _P
+
+            out = _P(path)
+            if out.suffix not in (".png", ".jpg", ".jpeg", ".svg"):
+                out = out.with_suffix(".png")
+            plt.savefig(out, dpi=dpi, bbox_inches="tight", pad_inches=0)
+        if show:
+            plt.show()
+        else:
+            plt.close()

@@ -630,24 +630,38 @@ class OpticalImage(Image):
     def __init__(self, img, transformations=None, **kwargs):
         kwargs["scalar"] = False
         kwargs["space_dim"] = 2
+        # Track the current color space (reference image.py:2113-2119).
+        self.color_space = str(kwargs.pop("color_space", "RGB")).upper()
         super().__init__(img, transformations, **kwargs)
+
+    def metadata(self) -> dict:
+        meta = super().metadata()
+        meta["color_space"] = self.color_space
+        return meta
 
     def to_trichromatic(self, color_space: str, return_image: bool = False):
         """Convert to another trichromatic color space (RGB/BGR/HSV/LAB/HLS).
 
-        All conversions run as jitted JAX programs (no OpenCV on the hot
-        path).
+        Converts from the image's *current* color space (reference
+        image.py:2278-2318); all conversions run as jitted JAX programs
+        (no OpenCV on the hot path).
         """
         from ..ops import color as color_ops
 
         color_space = color_space.upper()
+        if color_space == self.color_space:
+            return self.copy() if return_image else None
         data = jnp.asarray(self.img)
-        converted = color_ops.convert_trichromatic(data, "RGB", color_space)
+        converted = color_ops.convert_trichromatic(
+            data, self.color_space, color_space
+        )
         if return_image:
             image = self.copy()
             image.img = converted
+            image.color_space = color_space
             return image
         self.img = converted
+        self.color_space = color_space
         return None
 
     def to_monochromatic(self, key: str) -> ScalarImage:
@@ -655,6 +669,8 @@ class OpticalImage(Image):
         from ..ops import color as color_ops
 
         data = jnp.asarray(self.img)
+        if self.color_space != "RGB":
+            data = color_ops.convert_trichromatic(data, self.color_space, "RGB")
         mono = color_ops.to_monochromatic(data, key)
         metadata = self.metadata()
         metadata.pop("scalar", None)

@@ -150,12 +150,39 @@ class BeckmannProblem:
         self.cell_vol = float(np.prod(grid.voxel_size))
         self.face_vol = tuple(float(v) for v in grid.face_vol)
         self.options = options
-        self.regularization = options.get("regularization", np.finfo(float).eps)
+        # Plain Python float: np scalars are strongly typed and would
+        # promote f32 programs to f64 under jax_enable_x64.
+        self.regularization = float(
+            options.get("regularization", np.finfo(float).eps)
+        )
         self.verbose = options.get("verbose", False)
         self.mobility_mode = MobilityMode(
             options.get("mobility_mode", MobilityMode.CELL_BASED)
         )
         self.callbacks = options.get("callbacks", None)
+
+        # Precision contract (docs/ot_precision.md): float32 by default
+        # (TPU-native; validated to ~1e-3 relative accuracy on the anchor
+        # problems), optional float64 via options={"dtype": "float64"} for
+        # high weight-contrast / large-grid runs — requires the global
+        # jax_enable_x64 flag (the reference always runs float64 + direct
+        # solvers, beckmann_linalg.py:55).
+        requested = str(options.get("dtype", "float32"))
+        if requested in ("float64", "f64", "double"):
+            import jax
+
+            if not jax.config.jax_enable_x64:
+                from warnings import warn
+
+                warn(
+                    "options['dtype']='float64' needs jax_enable_x64=True; "
+                    "falling back to float32."
+                )
+                self.dtype = jnp.float32
+            else:
+                self.dtype = jnp.float64
+        else:
+            self.dtype = jnp.float32
 
         # Weights on cells.
         self.weight = weight
@@ -163,7 +190,8 @@ class BeckmannProblem:
             self.cell_weights = 1.0
         else:
             self.cell_weights = np.asarray(
-                weight.img if hasattr(weight, "img") else weight, dtype=np.float32
+                weight.img if hasattr(weight, "img") else weight,
+                dtype=self.dtype,
             )
 
         # L1 quadrature.
@@ -174,13 +202,13 @@ class BeckmannProblem:
             quad_pts, quad_weights = reference_cell_corners(self.dim)
         else:
             quad_pts, quad_weights = gauss_reference_cell(self.dim, 0)
-        self.quad_pts = jnp.asarray(np.atleast_2d(quad_pts), dtype=jnp.float32)
-        self.quad_weights = jnp.asarray(quad_weights, dtype=jnp.float32)
+        self.quad_pts = jnp.asarray(np.atleast_2d(quad_pts), dtype=self.dtype)
+        self.quad_weights = jnp.asarray(quad_weights, dtype=self.dtype)
 
         # Base face weights from the cell weight field (harmonic average).
         if weight is None:
             self.base_face_weights = tuple(
-                jnp.ones(self.grid.faces_shape[d], dtype=jnp.float32)
+                jnp.ones(self.grid.faces_shape[d], dtype=self.dtype)
                 for d in range(self.dim)
             )
         else:
@@ -270,7 +298,7 @@ class BeckmannProblem:
 
     def zero_fluxes(self) -> tuple:
         return tuple(
-            jnp.zeros(self.grid.faces_shape[d], dtype=jnp.float32)
+            jnp.zeros(self.grid.faces_shape[d], dtype=self.dtype)
             for d in range(self.dim)
         )
 
@@ -332,7 +360,7 @@ class BeckmannProblem:
             reg = max(self.regularization, 1e-6 * float(norm.max()))
             norm = np.maximum(norm, reg)
             arrays = self.grid.face_arrays(norm)
-            return tuple(1.0 / jnp.asarray(a, dtype=jnp.float32) for a in arrays)
+            return tuple(1.0 / jnp.asarray(a, dtype=self.dtype) for a in arrays)
         raise ValueError(f"Mobility mode {self.mobility_mode} not supported.")
 
     # --------------------------------------------------------- subproblems
@@ -344,6 +372,113 @@ class BeckmannProblem:
             / (face_weights[d] * self.cell_vol)
             for d in range(self.dim)
         )
+
+    def _build_fused_outer(self, step):
+        """Wrap a traceable iteration into a whole-solve device loop.
+
+        ``step(state, mass_rhs) -> (state_new, metrics[4])`` with metrics
+        [distance, flux_increment_sq, flux_norm_sq, residual].  The outer
+        iteration, convergence checks, divergence state-restore, and
+        per-iteration history run inside one ``lax.while_loop``; the host
+        fetches a single (num_iter, 4) buffer at the end.  On a relayed TPU
+        the per-iteration dispatch roundtrip (~0.1 s) otherwise dwarfs the
+        ~3 ms compute of an MG-preconditioned step.
+
+        Returns a jitted ``solve(state0, distance0, mass_rhs, res_norm) ->
+        (state, distance, num_steps, status_code, metrics_buf)``;
+        ``res_norm <= 0`` normalizes the residual criterion by the first
+        iteration's residual (host-loop parity: history.residual[0]).
+        Status codes: 0 = iteration cap, 1 = converged, 2 = diverged
+        (previous state restored).  Buffer rows: distance,
+        distance_increment, residual, flux_increment.
+        """
+        import jax
+
+        cc = self.convergence_criteria
+        num_iter = int(cc.num_iter)
+        tol_inc = float(min(cc.tol_increment, np.finfo(np.float32).max))
+        tol_dist = float(min(cc.tol_distance, np.finfo(np.float32).max))
+        tol_res = float(min(cc.tol_residual, np.finfo(np.float32).max))
+
+        def solve(state0, distance0, mass_rhs, res_norm):
+            buf0 = jnp.zeros((num_iter, 4), dtype=self.dtype)
+            carry0 = (
+                state0,
+                jnp.asarray(distance0, self.dtype),
+                jnp.int32(0),
+                jnp.int32(0),
+                jnp.asarray(res_norm, self.dtype),
+                buf0,
+            )
+
+            def cond(carry):
+                _, _, k, status, _, _ = carry
+                return jnp.logical_and(k < num_iter, status == 0)
+
+            def body(carry):
+                state, dist, k, status, res0, buf = carry
+                state_new, metrics = step(state, mass_rhs)
+                distance = metrics[0]
+                flux_inc = jnp.sqrt(metrics[1])
+                rel_inc = flux_inc / jnp.maximum(jnp.sqrt(metrics[2]), 1e-30)
+                residual = metrics[3]
+                dist_inc = jnp.abs(distance - dist)
+                rel_dist = dist_inc / jnp.maximum(distance, 1e-30)
+                res0_new = jnp.where(
+                    jnp.logical_and(k == 0, res0 <= 0.0), residual, res0
+                )
+                rel_res = residual / jnp.maximum(res0_new, 1e-30)
+                buf = buf.at[k].set(
+                    jnp.stack([distance, dist_inc, residual, flux_inc])
+                )
+                finite = (
+                    jnp.isfinite(distance)
+                    & jnp.isfinite(rel_inc)
+                    & jnp.isfinite(rel_res)
+                )
+                converged = (
+                    (rel_inc < tol_inc)
+                    & (rel_dist < tol_dist)
+                    & (rel_res < tol_res)
+                    & (k > 1)
+                )
+                status_new = jnp.where(
+                    ~finite, jnp.int32(2), jnp.where(converged, 1, 0)
+                ).astype(jnp.int32)
+                # On divergence keep the previous accepted state.
+                keep_old = ~finite
+                state_out = jax.tree.map(
+                    lambda a, b: jnp.where(keep_old, a, b), state, state_new
+                )
+                dist_out = jnp.where(keep_old, dist, distance)
+                return (state_out, dist_out, k + 1, status_new, res0_new, buf)
+
+            state, dist, k, status, _, buf = lax.while_loop(cond, body, carry0)
+            return state, dist, k, status, buf
+
+        return jax.jit(solve)
+
+    def _record_fused_history(self, history, dist, k, status_code, buf, total):
+        """Unpack the device metrics buffer into the host history record."""
+        k = int(k)
+        status_code = int(status_code)
+        buf = np.asarray(buf, dtype=np.float64)[:k]
+        per_iter = total / max(k, 1)
+        for row in buf:
+            history.append(
+                distance=float(row[0]),
+                distance_increment=float(row[1]),
+                residual=float(row[2]),
+                increment=float(row[3]),
+                timings={"total": per_iter},
+                total_run_time=per_iter,
+            )
+        status = {
+            0: ConvergenceStatus.NOT_CONVERGED,
+            1: ConvergenceStatus.CONVERGED,
+            2: ConvergenceStatus.DIVERGED,
+        }[status_code]
+        return float(dist), status, k
 
     def pressure_solve(
         self, face_weights: tuple, rhs_cells: jnp.ndarray, p0: jnp.ndarray
@@ -386,8 +521,8 @@ class BeckmannProblem:
         """W1 distance between two (equal-mass) scalar images."""
         assert img_1.scalar and img_2.scalar
         self._compatibility_check(img_1, img_2)
-        mass_diff = jnp.asarray(img_2.img, dtype=jnp.float32) - jnp.asarray(
-            img_1.img, dtype=jnp.float32
+        mass_diff = jnp.asarray(img_2.img, dtype=self.dtype) - jnp.asarray(
+            img_1.img, dtype=self.dtype
         )
         distance, fluxes, pressure, info = self.solve_beckmann_problem(mass_diff)
 
@@ -495,128 +630,28 @@ class BeckmannNewtonSolver(BeckmannProblem):
         jitted = self._fused_step_cache
         return lambda fluxes, p: jitted(fluxes, p, mass_rhs)
 
-    def _build_fused_solve(self):
-        """The ENTIRE Newton solve as one XLA program.
-
-        The outer iteration, convergence checks, divergence state-restore,
-        and per-iteration history all run inside a ``lax.while_loop``; the
-        host fetches one (num_iter, 4) metrics buffer at the end.  On a
-        relayed TPU the per-iteration dispatch roundtrip (~0.1 s) otherwise
-        dwarfs the ~3 ms compute of an MG-preconditioned step.
-
-        Returns a jitted ``solve(fluxes0, p0, distance0) -> (fluxes, p,
-        distance, num_steps, status_code, metrics_buf)`` with status codes
-        0 = iteration cap reached, 1 = converged, 2 = diverged (previous
-        state restored).  Buffer rows: distance, distance_increment,
-        residual, flux_increment.
-        """
-        import jax
-
-        if getattr(self, "_fused_solve_cache", None) is not None:
-            return self._fused_solve_cache
-
-        step = self._fused_step_fn()
-        cc = self.convergence_criteria
-        num_iter = int(cc.num_iter)
-        tol_inc = float(min(cc.tol_increment, np.finfo(np.float32).max))
-        tol_dist = float(min(cc.tol_distance, np.finfo(np.float32).max))
-        tol_res = float(min(cc.tol_residual, np.finfo(np.float32).max))
-
-        def solve(fluxes0, p0, distance0, mass_rhs):
-            buf0 = jnp.zeros((num_iter, 4), dtype=jnp.float32)
-            state0 = (
-                tuple(fluxes0),
-                p0,
-                jnp.asarray(distance0, jnp.float32),
-                jnp.int32(0),
-                jnp.int32(0),
-                jnp.float32(0.0),
-                buf0,
-            )
-
-            def cond(state):
-                _, _, _, k, status, _, _ = state
-                return jnp.logical_and(k < num_iter, status == 0)
-
-            def body(state):
-                fluxes, p, dist, k, status, res0, buf = state
-                fluxes_new, p_new, metrics = step(fluxes, p, mass_rhs)
-                distance = metrics[0]
-                flux_inc = jnp.sqrt(metrics[1])
-                rel_inc = flux_inc / jnp.maximum(jnp.sqrt(metrics[2]), 1e-30)
-                residual = metrics[3]
-                dist_inc = jnp.abs(distance - dist)
-                rel_dist = dist_inc / jnp.maximum(distance, 1e-30)
-                # Residual is normalized by the first recorded residual
-                # (host-loop parity: history.residual[0]).
-                res0_new = jnp.where(k == 0, residual, res0)
-                rel_res = residual / jnp.maximum(res0_new, 1e-30)
-                buf = buf.at[k].set(
-                    jnp.stack([distance, dist_inc, residual, flux_inc])
-                )
-                finite = (
-                    jnp.isfinite(distance)
-                    & jnp.isfinite(rel_inc)
-                    & jnp.isfinite(rel_res)
-                )
-                converged = (
-                    (rel_inc < tol_inc)
-                    & (rel_dist < tol_dist)
-                    & (rel_res < tol_res)
-                    & (k > 1)
-                )
-                status_new = jnp.where(
-                    ~finite, jnp.int32(2), jnp.where(converged, 1, 0)
-                ).astype(jnp.int32)
-                # On divergence keep the previous accepted state.
-                keep_old = ~finite
-                fluxes_out = tuple(
-                    jnp.where(keep_old, a, b)
-                    for a, b in zip(fluxes, fluxes_new)
-                )
-                p_out = jnp.where(keep_old, p, p_new)
-                dist_out = jnp.where(keep_old, dist, distance)
-                return (
-                    fluxes_out, p_out, dist_out, k + 1, status_new,
-                    res0_new, buf,
-                )
-
-            fluxes, p, dist, k, status, _, buf = lax.while_loop(
-                cond, body, state0
-            )
-            return fluxes, p, dist, k, status, buf
-
-        self._fused_solve_cache = jax.jit(solve)
-        return self._fused_solve_cache
-
     def _solve_on_device(self, mass_rhs, fluxes, p, distance, history):
         """Run the fully fused Newton solve and unpack history/info."""
-        fused_solve = self._build_fused_solve()
-        tic = time.time()
-        fluxes, p, dist, k, status_code, buf = fused_solve(
-            fluxes, p, distance, mass_rhs
-        )
-        k = int(k)
-        status_code = int(status_code)
-        buf = np.asarray(buf, dtype=np.float64)[:k]
-        total = time.time() - tic
+        if getattr(self, "_fused_solve_cache", None) is None:
+            inner = self._fused_step_fn()
 
-        per_iter = total / max(k, 1)
-        for row in buf:
-            history.append(
-                distance=float(row[0]),
-                distance_increment=float(row[1]),
-                residual=float(row[2]),
-                increment=float(row[3]),
-                timings={"total": per_iter},
-                total_run_time=per_iter,
-            )
-        distance = float(dist)
-        status = {
-            0: ConvergenceStatus.NOT_CONVERGED,
-            1: ConvergenceStatus.CONVERGED,
-            2: ConvergenceStatus.DIVERGED,
-        }[status_code]
+            def newton_step(state, rhs):
+                fluxes, p = state
+                fluxes_new, p_new, metrics = inner(fluxes, p, rhs)
+                return (fluxes_new, p_new), metrics
+
+            self._fused_solve_cache = self._build_fused_outer(newton_step)
+        fused_solve = self._fused_solve_cache
+
+        tic = time.time()
+        state, dist, k, status_code, buf = fused_solve(
+            (tuple(fluxes), p), distance, mass_rhs, 0.0
+        )
+        fluxes, p = state
+        total = time.time() - tic
+        distance, status, k = self._record_fused_history(
+            history, dist, k, status_code, buf, total
+        )
 
         unweighted = self.transport_density(fluxes, weighted=False)
         flux_l1_norm = float(self.cell_vol * jnp.sum(unweighted))
@@ -637,7 +672,7 @@ class BeckmannNewtonSolver(BeckmannProblem):
         # Darcy initialization with unit (L_init-scaled) mobility.
         L_init = self.options.get("L_init", 1.0)
         face_weights = tuple(L_init * w for w in self.base_face_weights)
-        p = jnp.zeros(self.shape, dtype=jnp.float32)
+        p = jnp.zeros(self.shape, dtype=self.dtype)
         p = self.pressure_solve(face_weights, mass_rhs, p)
         fluxes = self.flux_from_pressure(face_weights, p)
 
@@ -683,7 +718,7 @@ class BeckmannNewtonSolver(BeckmannProblem):
                     accelerated = self.anderson(flat, flat - flat_old, iter)
                     arrays = self.grid.face_arrays(accelerated)
                     fluxes = tuple(
-                        jnp.asarray(a, dtype=jnp.float32) for a in arrays
+                        jnp.asarray(a, dtype=self.dtype) for a in arrays
                     )
 
                 distance = self.l1_dissipation(fluxes)
@@ -799,12 +834,11 @@ class BeckmannBregmanSolver(BeckmannProblem):
             MobilityMode.SUBCELL_BASED,
         )
 
-    def _build_fused_bregman_step(self, mass_rhs, scaled_weights, thresholds):
-        """One Bregman iteration (u-step CG + vectorial shrink + metrics) as
-        a single XLA program — one device roundtrip per iteration."""
-        import jax
+    def _bregman_step_fn(self, scaled_weights, thresholds):
+        """Traceable Bregman iteration (u-step solve + vectorial shrink +
+        metrics); ``mass_rhs`` is a traced argument for program reuse."""
 
-        def step(d_aux, b_aux, p):
+        def step(d_aux, b_aux, p, mass_rhs):
             db = tuple(d_aux[k] - b_aux[k] for k in range(self.dim))
             div_db = bk.face_divergence(db, self.face_vol, self.dim)
             p_new = self.pressure_solve(scaled_weights, mass_rhs - div_db, p)
@@ -825,7 +859,65 @@ class BeckmannBregmanSolver(BeckmannProblem):
             metrics = jnp.stack([distance, inc_sq, norm_sq, residual])
             return fluxes, p_new, d_new, b_new, metrics
 
-        return jax.jit(step)
+        return step
+
+    def _build_fused_bregman_step(self, mass_rhs, scaled_weights, thresholds):
+        """One Bregman iteration as a single XLA program — one device
+        roundtrip per iteration (host fallback path)."""
+        import jax
+
+        if getattr(self, "_fused_step_cache", None) is None:
+            self._fused_step_cache = jax.jit(
+                self._bregman_step_fn(scaled_weights, thresholds)
+            )
+        jitted = self._fused_step_cache
+        return lambda d, b, p: jitted(d, b, p, mass_rhs)
+
+    def _solve_on_device(
+        self, mass_rhs, fluxes, p, d_aux, b_aux, distance,
+        scaled_weights, thresholds, history,
+    ):
+        """Run the fully fused Bregman solve and unpack history/info."""
+        if getattr(self, "_fused_solve_cache", None) is None:
+            inner = self._bregman_step_fn(scaled_weights, thresholds)
+
+            def bregman_step(state, rhs):
+                _, p, d_aux, b_aux = state
+                fluxes, p_new, d_new, b_new, metrics = inner(
+                    d_aux, b_aux, p, rhs
+                )
+                return (fluxes, p_new, d_new, b_new), metrics
+
+            self._fused_solve_cache = self._build_fused_outer(bregman_step)
+        fused_solve = self._fused_solve_cache
+
+        tic = time.time()
+        # Bregman normalizes the residual criterion by ||mass_rhs||
+        # (host-loop parity below).
+        res_norm = float(jnp.linalg.norm(mass_rhs))
+        state, dist, k, status_code, buf = fused_solve(
+            (tuple(fluxes), p, tuple(d_aux), tuple(b_aux)),
+            distance,
+            mass_rhs,
+            max(res_norm, 1e-30),
+        )
+        fluxes, p, _, _ = state
+        total = time.time() - tic
+        distance, status, k = self._record_fused_history(
+            history, dist, k, status_code, buf, total
+        )
+
+        unweighted = self.transport_density(fluxes, weighted=False)
+        info = {
+            "distance": distance,
+            "flux_l1_norm": float(self.cell_vol * jnp.sum(unweighted)),
+            "converged": status == ConvergenceStatus.CONVERGED,
+            "number_iterations": max(k - 1, 0),
+            "convergence_history": history.as_dict(),
+            "timings": {"total": total},
+            "peak_memory_consumption": peak_device_memory_gb(),
+        }
+        return distance, fluxes, p, info
 
     def solve_beckmann_problem(self, mass_diff: jnp.ndarray):
         mass_rhs = self.cell_vol * mass_diff
@@ -835,7 +927,7 @@ class BeckmannBregmanSolver(BeckmannProblem):
         scaled_weights = tuple(w / self.L for w in face_weights)
 
         # Darcy initialization (unit mobility), as in the reference.
-        p = jnp.zeros(self.shape, dtype=jnp.float32)
+        p = jnp.zeros(self.shape, dtype=self.dtype)
         p = self.pressure_solve(scaled_weights, mass_rhs, p)
         fluxes = self.flux_from_pressure(scaled_weights, p)
         thresholds = tuple(self.L / w for w in face_weights)
@@ -845,12 +937,21 @@ class BeckmannBregmanSolver(BeckmannProblem):
         history = BeckmannConvergenceHistory()
         status = ConvergenceStatus.IN_PROGRESS
 
-        # Fused Bregman iteration (one device roundtrip per iteration) —
-        # valid while weights/thresholds stay constant and mobility is
-        # traceable; adaptive reweighting falls back to the eager path.
+        # Fused Bregman iteration — valid while weights/thresholds stay
+        # constant and mobility is traceable; adaptive reweighting falls
+        # back to the eager path.
         fused = (
             self.bregman_update is None and self._traceable_mobility_bregman()
         )
+
+        # Whole-solve device loop (no per-iteration host roundtrips) when
+        # no per-iteration host work is requested.
+        if fused and self.callbacks is None and not self.verbose:
+            return self._solve_on_device(
+                mass_rhs, fluxes, p, d_aux, b_aux, distance,
+                scaled_weights, thresholds, history,
+            )
+
         fused_step = self._build_fused_bregman_step(
             mass_rhs, scaled_weights, thresholds
         ) if fused else None
@@ -982,12 +1083,12 @@ class BeckmannGproxPGHDSolver(BeckmannProblem):
 
         fluxes = self.zero_fluxes()
         fluxes_bar = fluxes
-        phi = jnp.zeros(self.shape, dtype=jnp.float32)  # dual potential
+        phi = jnp.zeros(self.shape, dtype=self.dtype)  # dual potential
         distance = 0.0
         history = BeckmannConvergenceHistory()
         status = ConvergenceStatus.IN_PROGRESS
 
-        def pdhg_step(fluxes, fluxes_bar, phi):
+        def pdhg_step(fluxes, fluxes_bar, phi, mass_rhs):
             """One fused PDHG iteration + metrics (single roundtrip)."""
             div_residual = (
                 bk.face_divergence(fluxes_bar, self.face_vol, self.dim)
@@ -1035,16 +1136,52 @@ class BeckmannGproxPGHDSolver(BeckmannProblem):
 
         import jax
 
-        fused_step = (
-            jax.jit(pdhg_step)
-            if self.mobility_mode
-            in (
-                MobilityMode.CELL_BASED,
-                MobilityMode.CELL_BASED_HARMONIC,
-                MobilityMode.SUBCELL_BASED,
-            )
-            else pdhg_step
+        traceable = self.mobility_mode in (
+            MobilityMode.CELL_BASED,
+            MobilityMode.CELL_BASED_HARMONIC,
+            MobilityMode.SUBCELL_BASED,
         )
+
+        # Whole-solve device loop: the entire PDHG iteration (Poisson
+        # preconditioning, shrinkage, convergence checks) as one XLA
+        # program, no per-iteration host roundtrips.
+        if traceable and self.callbacks is None and not self.verbose:
+            if getattr(self, "_fused_solve_cache", None) is None:
+
+                def gprox_step(state, rhs):
+                    fluxes, fluxes_bar, phi = state
+                    f, bar, phi_new, metrics = pdhg_step(
+                        fluxes, fluxes_bar, phi, rhs
+                    )
+                    return (f, bar, phi_new), metrics
+
+                self._fused_solve_cache = self._build_fused_outer(gprox_step)
+            tic = time.time()
+            state, dist, k, status_code, buf = self._fused_solve_cache(
+                (tuple(fluxes), tuple(fluxes_bar), phi),
+                distance,
+                mass_rhs,
+                0.0,
+            )
+            fluxes, fluxes_bar, phi = state
+            total = time.time() - tic
+            distance, status, k = self._record_fused_history(
+                history, dist, k, status_code, buf, total
+            )
+            unweighted = self.transport_density(fluxes, weighted=False)
+            info = {
+                "distance": distance,
+                "flux_l1_norm": float(self.cell_vol * jnp.sum(unweighted)),
+                "converged": status == ConvergenceStatus.CONVERGED,
+                "number_iterations": max(k - 1, 0),
+                "convergence_history": history.as_dict(),
+                "timings": {"total": total},
+                "peak_memory_consumption": peak_device_memory_gb(),
+            }
+            # Kantorovich potential = phi (up to scaling).
+            return distance, fluxes, phi, info
+
+        fused_step = jax.jit(pdhg_step) if traceable else pdhg_step
 
         iter = 0
         for iter in range(self.convergence_criteria.num_iter):
@@ -1052,7 +1189,7 @@ class BeckmannGproxPGHDSolver(BeckmannProblem):
             old_distance = distance
 
             fluxes, fluxes_bar, phi, metrics = fused_step(
-                fluxes, fluxes_bar, phi
+                fluxes, fluxes_bar, phi, mass_rhs
             )
             metrics = np.asarray(metrics, dtype=np.float64)
             distance = float(metrics[0])

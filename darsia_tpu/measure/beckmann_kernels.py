@@ -83,7 +83,7 @@ def transport_density_cells(
     dim: int,
 ) -> jnp.ndarray:
     """Quadrature of |weight * RT0 flux| over each cell."""
-    density = jnp.zeros(shape, dtype=jnp.float32)
+    density = jnp.zeros(shape, dtype=fluxes[0].dtype)
     for q in range(quad_pts.shape[0]):
         cell_flux = face_to_cell_pt(fluxes, quad_pts[q], shape, dim)
         if not (np.isscalar(cell_weights) and cell_weights == 1):

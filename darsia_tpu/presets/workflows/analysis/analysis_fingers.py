@@ -56,8 +56,14 @@ def analysis_fingers_from_context(
     folder.mkdir(parents=True, exist_ok=True)
     csv_path = folder / "fingers_analysis_results.csv"
     df = pd.read_csv(csv_path) if csv_path.exists() else pd.DataFrame()
-    # Per-(entry, roi) path-evolution trackers for skeleton analysis.
+    # Reference-schema statistics (ref analysis_fingers.py:212-226, 940-987).
+    stats_path = folder / "statistics.csv"
+    stats_df = pd.read_csv(stats_path) if stats_path.exists() else pd.DataFrame()
+    # Per-(entry, roi, category) path-evolution trackers: "peak" = contour
+    # local maxima, "leaf" = skeleton endpoints, "junction" = skeleton
+    # branch points (reference categories, analysis_fingers.py:228-233).
     evolutions: dict = {}
+    last_mask: dict = {}
 
     publish_step_start(
         progress_callback, step="fingers", image_total=len(ctx.image_paths)
@@ -97,11 +103,13 @@ def analysis_fingers_from_context(
                     sub_mask = ndimage.binary_fill_holes(sub_mask)
                 analysis = ContourAnalysis()
                 analysis.load_labels(sub_mask)
-                peaks, _ = analysis.local_extrema()
+                peaks, fjords = analysis.local_extrema()
+                img_time = (
+                    float(np.asarray(img.time)) if img.time is not None else None
+                )
+                step_time = img_time if img_time is not None else float(index)
                 row = {
-                    "time": float(np.asarray(img.time))
-                    if img.time is not None
-                    else None,
+                    "time": img_time,
                     "image_stem": path.stem,
                     "entry": key,
                     "roi": roi_key,
@@ -109,16 +117,104 @@ def analysis_fingers_from_context(
                     "number_fingers": int(len(peaks)),
                     "area_fraction": float(np.asarray(sub_mask).mean()),
                 }
-                if entry.include_skeleton_analysis:
-                    tracker = evolutions.setdefault(
-                        (key, roi_key), PathEvolutionAnalysis()
+
+                # ROI width -> finger frequency/wavelength (ref :357-364).
+                if roi_config is not None:
+                    roi_arr = np.asarray(roi_config.roi, dtype=float)
+                    roi_width = float(abs(roi_arr[1, 0] - roi_arr[0, 0]))
+                else:
+                    roi_width = float(
+                        np.asarray(sub_mask).shape[1]
+                        * float(np.mean(img.voxel_size[:2]))
                     )
-                    record = tracker.add(sub_mask, time=row["time"])
-                    row["skeleton_length"] = record.get("skeleton_length")
-                    row["number_tips"] = record.get("num_fingers")
-                    row["skeleton_growth"] = record.get("length_growth")
+                frequency = len(peaks) / roi_width if roi_width > 0 else 0.0
+                wavelength = (
+                    roi_width / len(peaks) if len(peaks) > 0 else 0.0
+                )
+
+                # Identity-tracked finger categories.
+                trackers = evolutions.setdefault(
+                    (key, roi_key),
+                    {
+                        "peak": PathEvolutionAnalysis(),
+                        "leaf": PathEvolutionAnalysis(),
+                        "junction": PathEvolutionAnalysis(),
+                    },
+                )
+                trackers["peak"].add(np.asarray(peaks), time=step_time)
+                skeleton_record = trackers["leaf"].add_mask(
+                    sub_mask, time=step_time
+                )
+                from ....analysis.skeleton_analysis import SkeletonAnalysis
+
+                skel = SkeletonAnalysis()
+                skel.load(sub_mask)
+                trackers["junction"].add(skel.branch_points(), time=step_time)
+
+                num_paths = {}
+                for category, tracker in trackers.items():
+                    tracker.find_paths(reset=True)
+                    num_paths[category] = tracker.path_counts(
+                        tracker.total_time - 1
+                    )
+
+                stats_row = {
+                    "time": img_time,
+                    "key": roi_key,
+                    "image": path.stem,
+                    "contour_length": row["contour_length"],
+                    "number_tips": int(len(peaks)),
+                    "number_fjords": int(len(fjords)),
+                    "number_skeleton_leaves": skeleton_record["num_fingers"],
+                    "number_skeleton_junctions": skeleton_record[
+                        "num_junctions"
+                    ],
+                    "roi_width": roi_width,
+                    "finger_frequency": frequency,
+                    "finger_wavelength": wavelength,
+                    # Per-category identity statistics (ref :940-980).
+                    "number_fingers": num_paths["peak"]["active"],
+                    "number_new_fingers": num_paths["peak"]["new"],
+                    "number_continuing_fingers": num_paths["peak"][
+                        "continuing"
+                    ],
+                    "number_ending_fingers": num_paths["peak"]["ending"],
+                    "number_new_skeleton_leaves": num_paths["leaf"]["new"],
+                    "number_continuing_skeleton_leaves": num_paths["leaf"][
+                        "continuing"
+                    ],
+                    "number_ending_skeleton_leaves": num_paths["leaf"][
+                        "ending"
+                    ],
+                    "number_splitting_fingers": num_paths["junction"][
+                        "active"
+                    ],
+                    "number_new_splitting_fingers": num_paths["junction"][
+                        "new"
+                    ],
+                    "number_continuing_splitting_fingers": num_paths[
+                        "junction"
+                    ]["continuing"],
+                    "number_ending_splitting_fingers": num_paths["junction"][
+                        "ending"
+                    ],
+                }
+                stats_df = pd.concat(
+                    [stats_df, pd.DataFrame([stats_row])], ignore_index=True
+                )
+                last_mask[(key, roi_key)] = np.asarray(sub_mask)
+
+                if entry.include_skeleton_analysis:
+                    row["skeleton_length"] = skeleton_record.get(
+                        "skeleton_length"
+                    )
+                    row["number_tips"] = skeleton_record.get("num_fingers")
+                    row["skeleton_growth"] = skeleton_record.get(
+                        "length_growth"
+                    )
                 df = pd.concat([df, pd.DataFrame([row])], ignore_index=True)
         df.to_csv(csv_path, index=False)
+        stats_df.to_csv(stats_path, index=False)
         publish_image_progress(
             progress_callback,
             step="fingers",
@@ -127,6 +223,31 @@ def analysis_fingers_from_context(
             image_total=len(ctx.image_paths),
             image_duration_s=time.monotonic() - t0,
         )
+    # Per-(entry, roi) path plots + advance-rate exports (ref :422-515: the
+    # reference writes per-image path overlays; one final overlay per ROI
+    # carries the same information at a fraction of the IO).
+    for (key, roi_key), trackers in evolutions.items():
+        mask = last_mask.get((key, roi_key))
+        if mask is None:
+            continue
+        plot_dir = folder / "paths" / key
+        plot_dir.mkdir(parents=True, exist_ok=True)
+        for category, tracker in trackers.items():
+            if tracker.total_time == 0:
+                continue
+            try:
+                tracker.plot_paths(
+                    img=mask.astype(float),
+                    path=plot_dir / f"{roi_key}_{category}_paths.png",
+                )
+            except Exception as exc:  # plotting must not fail the analysis
+                logger.warning("Path plot failed for %s/%s: %s", key, roi_key, exc)
+        rates = trackers["peak"].advance_rates()
+        if rates:
+            pd.DataFrame(rates).to_csv(
+                plot_dir / f"{roi_key}_advance_rates.csv", index=False
+            )
+
     publish_step_complete(
         progress_callback,
         step="fingers",

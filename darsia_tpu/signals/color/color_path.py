@@ -136,11 +136,32 @@ class ColorPath:
 
     # ------------------------------------------------------------- numerics
 
-    def refine(self, num_segments: int) -> "ColorPath":
-        """Resample the path into num_segments equal-length segments."""
-        samples = self.sample_absolute_color_path(num_segments + 1)
+    def refine(
+        self,
+        num_segments: int,
+        distance_to_left: Optional[float] = None,
+        distance_to_right: Optional[float] = None,
+        mode: Literal["relative", "equidistant"] = "relative",
+    ) -> "ColorPath":
+        """Resample the path into num_segments segments, optionally
+        extending beyond its ends.
+
+        Parity: reference ``color_path.py:363-403`` — ``distance_to_left``
+        (e.g. -0.1) / ``distance_to_right`` (e.g. 1.1) prepend/append
+        extrapolated supports, the spectrum-guided path-extension mechanism
+        of the calibration workflows.
+        """
+        distances = np.linspace(0.0, 1.0, num_segments + 1)
+        if distance_to_left is not None:
+            distances = np.hstack((distance_to_left, distances))
+        if distance_to_right is not None:
+            distances = np.hstack((distances, distance_to_right))
+        relative_colors = self.interpret(
+            distances, color_mode=ColorMode.RELATIVE, mode=mode
+        )
         return ColorPath(
-            colors=[np.asarray(s) for s in samples],
+            base_color=self.base_color,
+            relative_colors=[c for c in relative_colors],
             mode=self.mode,
             name=self.name,
         )
@@ -208,12 +229,19 @@ class ColorPath:
         out = np.zeros(params.shape + (3,))
         for segment in range(self.num_segments):
             d0, d1 = distances[segment], distances[segment + 1]
-            if segment == 0:
-                mask = params <= d1
-            elif segment == self.num_segments - 1:
-                mask = params >= d0
-            else:
-                mask = (params >= d0) & (params <= d1)
+            # First/last segments are open-ended (extrapolation for
+            # out-of-range parameters, e.g. refine's path extension).
+            lo_ok = (
+                params >= d0
+                if segment > 0
+                else np.ones_like(params, dtype=bool)
+            )
+            hi_ok = (
+                params <= d1
+                if segment < self.num_segments - 1
+                else np.ones_like(params, dtype=bool)
+            )
+            mask = lo_ok & hi_ok
             ratio = (params[mask] - d0) / max(d1 - d0, 1e-30)
             out[mask] = supports[segment] + np.outer(
                 ratio, supports[segment + 1] - supports[segment]

@@ -218,11 +218,19 @@ class LabelColorPathMapRegression:
         num_segments: int = 1,
         name: str = "Color Path",
         weighting: Literal["threshold", "wls", "wls_sqrt", "wls_log"] = "threshold",
+        fit_mode: Literal["rdp", "lloyd"] = "rdp",
         lloyd_iterations: int = 3,
+        outlier_weight_ratio: float = 0.05,
         **_ignored,
     ) -> ColorPath:
         """Fit one relative color path through a spectrum's occupied bins
-        (reference color_path_regression.py:534-1476, non-interactive)."""
+        (reference color_path_regression.py:534-1476, non-interactive).
+
+        ``fit_mode="rdp"`` (default) runs the reference's
+        Ramer-Douglas-Peucker-style weighted segmentation with
+        outlier-robust quantile errors; ``"lloyd"`` runs the quantile-seed
+        + Lloyd-refinement variant (cheaper, smoother paths).
+        """
         num_dofs = num_segments + 1
         relative_colors = spectrum.relative_colors
         weights = self._point_weights(spectrum, weighting)
@@ -241,8 +249,44 @@ class LabelColorPathMapRegression:
 
         weights = weights / max(weights.sum(), 1e-30)
 
-        # Weighted PCA embedding to 1D, oriented so the origin sits at the
-        # low end (paths start at the base color).
+        # Outlier rejection: drop bins whose histogram weight is far below
+        # the dominant path bins (only meaningful for count-based
+        # weightings; "threshold" weights are uniform by construction).
+        if weighting != "threshold" and num_points > 4:
+            keep = weights >= outlier_weight_ratio * weights.max()
+            if keep.sum() >= 2:
+                relative_colors = relative_colors[keep]
+                weights = weights[keep] / weights[keep].sum()
+                num_points = relative_colors.shape[0]
+
+        embedding = self._embed_1d(relative_colors, weights)
+
+        if fit_mode == "rdp":
+            node_colors = self._fit_path_rdp(
+                relative_colors, weights, embedding, num_segments
+            )
+        else:
+            node_colors = self._fit_path_lloyd(
+                spectrum, relative_colors, weights, embedding,
+                num_segments, lloyd_iterations, name,
+            )
+
+        return ColorPath(
+            base_color=spectrum.base_color,
+            relative_colors=[c for c in node_colors],
+            name=name,
+        )
+
+    @staticmethod
+    def _embed_1d(relative_colors: np.ndarray, weights: np.ndarray) -> np.ndarray:
+        """Weighted-PCA 1D embedding oriented so the origin sits at the low
+        end (paths start at the base color).
+
+        TPU deviation: replaces sklearn's LocallyLinearEmbedding (reference
+        color_path_regression.py:628-632) — on the near-1D manifolds of
+        relative color clouds the principal direction gives the same
+        ordering without the sklearn dependency.
+        """
         mean = weights @ relative_colors
         centered = relative_colors - mean
         cov = (centered * weights[:, None]).T @ centered
@@ -251,9 +295,194 @@ class LabelColorPathMapRegression:
         embedding = centered @ direction
         origin_param = -mean @ direction
         if origin_param > weights @ embedding:
-            embedding, origin_param = -embedding, -origin_param
+            embedding = -embedding
+        return embedding
 
-        # Seed nodes at weighted quantiles of the embedding.
+    def _fit_path_rdp(
+        self,
+        relative_colors: np.ndarray,
+        weights: np.ndarray,
+        embedding: np.ndarray,
+        num_segments: int,
+    ) -> np.ndarray:
+        """Reference algorithm (color_path_regression.py:700-1370):
+
+        1. sort colors along the embedding; trim everything left of the
+           origin (closest point to zero relative color), flipping if the
+           origin sits at the right end;
+        2. prepend the exact origin with weight 0 (anchors the path at the
+           base color without biasing the fit);
+        3. greedy RDP-style segmentation: repeatedly split the segment with
+           the largest 80th-quantile L1 linear-fit error (quantile = the
+           outlier rejection) at the smoothed left/right error crossover;
+        4. neighbor-pair re-splitting sweeps until converged or oscillating;
+        5. key colors = segment endpoints.
+        """
+        order = np.argsort(embedding)
+        sorted_colors = relative_colors[order]
+        sorted_embedding = embedding[order]
+        sorted_weights = weights[order]
+
+        # Origin detection + trim (reference :855-905).
+        origin = np.zeros(3)
+        origin_index = int(
+            np.argmin(np.linalg.norm(sorted_colors - origin, axis=1))
+        )
+        if origin_index > len(sorted_colors) // 2:
+            origin_index = len(sorted_colors) - origin_index - 1
+            sorted_embedding = np.flip(sorted_embedding, axis=0)
+            sorted_colors = np.flip(sorted_colors, axis=0)
+            sorted_weights = np.flip(sorted_weights, axis=0)
+        sorted_embedding = sorted_embedding[origin_index:]
+        sorted_colors = sorted_colors[origin_index:, :]
+        sorted_weights = sorted_weights[origin_index:]
+
+        # Prepend the origin with zero weight.
+        sorted_embedding = np.hstack(
+            (
+                sorted_embedding[0]
+                + np.sign(sorted_embedding[0] - sorted_embedding[-1]),
+                sorted_embedding,
+            )
+        )
+        sorted_colors = np.vstack((origin, sorted_colors))
+        sorted_weights = np.hstack((0.0, sorted_weights))
+        total = sorted_weights.sum()
+        if total > 0:
+            sorted_weights = sorted_weights / total
+
+        def segment_error(rng: range) -> float:
+            """Outlier-robust (80th-quantile) L1 linear-fit error.
+
+            Chord-length parametrization in color space (instead of the
+            raw embedding values) keeps collinear runs at exactly zero
+            error regardless of how the points are spaced along the
+            embedding — the prepended origin would otherwise skew the
+            interpolation parameters.
+            """
+            idx = np.arange(rng.start, rng.stop)
+            if len(idx) < 3:
+                return 0.0
+            c = sorted_colors[idx]
+            seg_lens = np.linalg.norm(np.diff(c, axis=0), axis=1)
+            t = np.concatenate([[0.0], np.cumsum(seg_lens)])
+            span = t[-1]
+            t = t / (span if span > 1e-30 else 1.0)
+            pred = c[0] + np.outer(t, c[-1] - c[0])
+            errors = np.abs(pred - c).sum(axis=1)
+            return float(np.quantile(errors, 0.8))
+
+        def segment_length(rng: range) -> float:
+            return float(
+                abs(sorted_embedding[rng.stop - 1] - sorted_embedding[rng.start])
+            )
+
+        def split_segment(rng: range):
+            """Split at the smoothed left/right error crossover closest to
+            the segment center (reference :932-1200)."""
+            pts, left_err, right_err = [], [], []
+            for split in range(1, len(rng) - 1):
+                pts.append(split)
+                left_err.append(segment_error(rng[:split]))
+                right_err.append(segment_error(rng[split:]))
+            pts = np.asarray(pts)
+            left_err = np.asarray(left_err)
+            right_err = np.asarray(right_err)
+
+            if len(pts) >= 5:
+                try:
+                    from scipy.signal import savgol_filter
+
+                    window = min(5, len(pts) if len(pts) % 2 else len(pts) - 1)
+                    left_s = savgol_filter(left_err, window, polyorder=2)
+                    right_s = savgol_filter(right_err, window, polyorder=2)
+                except Exception:
+                    left_s, right_s = left_err, right_err
+            else:
+                left_s, right_s = left_err, right_err
+
+            diff = left_s - right_s
+            crossings = np.where(np.diff(np.sign(diff)))[0]
+            if len(crossings) == 0:
+                split = int(pts[np.argmin(np.abs(diff))])
+            else:
+                center = len(rng) / 2
+                split = int(
+                    pts[crossings[np.argmin(np.abs(pts[crossings] - center))]]
+                )
+            left_rng, right_rng = rng[:split], rng[split:]
+            return (
+                {"range": left_rng, "error": segment_error(left_rng),
+                 "length": segment_length(left_rng)},
+                {"range": right_rng, "error": segment_error(right_rng),
+                 "length": segment_length(right_rng)},
+            )
+
+        full = range(0, len(sorted_embedding))
+        segments = [
+            {"range": full, "error": segment_error(full),
+             "length": segment_length(full)}
+        ]
+
+        # Greedy splitting of the worst segment.
+        while len(segments) < num_segments:
+            eligible = [s for s in segments if len(s["range"]) > 2]
+            if not eligible:
+                break
+            worst = eligible[int(np.argmax([s["error"] for s in eligible]))]
+            left, right = split_segment(worst["range"])
+            i = segments.index(worst)
+            segments[i] = left
+            segments.insert(i + 1, right)
+
+        # Neighbor-pair smoothing sweeps (reference :1300-1350).
+        old_distances: list[int] = []
+        for _ in range(10):
+            previous = [dict(s) for s in segments]
+            for i in range(len(segments) - 1):
+                combined = range(
+                    segments[i]["range"].start, segments[i + 1]["range"].stop
+                )
+                if len(combined) < 3:
+                    continue
+                left, right = split_segment(combined)
+                segments[i], segments[i + 1] = left, right
+            if all(
+                segments[i]["range"] == previous[i]["range"]
+                for i in range(len(segments))
+            ):
+                break
+            distance = sum(
+                abs(segments[i]["range"].start - previous[i]["range"].start)
+                + abs(segments[i]["range"].stop - previous[i]["range"].stop)
+                for i in range(len(segments))
+            )
+            old_distances.append(distance)
+            if len(old_distances) > 5 and len(np.unique(old_distances[-5:])) == 1:
+                break  # oscillation detected
+
+        node_colors = [sorted_colors[s["range"].start] for s in segments]
+        node_colors.append(sorted_colors[segments[-1]["range"].stop - 1])
+        # Pad with the last color if splitting stopped early.
+        while len(node_colors) < num_segments + 1:
+            node_colors.append(node_colors[-1])
+        return np.asarray(node_colors)
+
+    def _fit_path_lloyd(
+        self,
+        spectrum: ColorSpectrum,
+        relative_colors: np.ndarray,
+        weights: np.ndarray,
+        embedding: np.ndarray,
+        num_segments: int,
+        lloyd_iterations: int,
+        name: str,
+    ) -> np.ndarray:
+        """Quantile-seeded node placement + Lloyd refinement (TPU-friendly
+        variant: the projection uses the same vectorized closest-point
+        program as ColorPath.fit)."""
+        num_dofs = num_segments + 1
+        num_points = relative_colors.shape[0]
         order = np.argsort(embedding)
         cumw = np.cumsum(weights[order])
         cumw /= cumw[-1]
@@ -264,8 +493,6 @@ class LabelColorPathMapRegression:
             idx = order[min(np.searchsorted(cumw, q), num_points - 1)]
             node_colors[i] = relative_colors[idx]
 
-        # Lloyd refinement: project points on the current path, update the
-        # interior+end nodes as weighted means of their parameter bins.
         for _ in range(lloyd_iterations):
             path = ColorPath(
                 base_color=spectrum.base_color,
@@ -288,12 +515,7 @@ class LabelColorPathMapRegression:
                     node_colors[i] = (
                         w_sel @ relative_colors[sel]
                     ) / w_sel.sum()
-
-        return ColorPath(
-            base_color=spectrum.base_color,
-            relative_colors=[c for c in node_colors],
-            name=name,
-        )
+        return node_colors
 
     def find_color_path(
         self,

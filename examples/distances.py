@@ -21,8 +21,12 @@ geometry = da.Geometry(**src.shape_metadata())
 src.img = np.asarray(src.img) / float(geometry.integrate(src))
 dst.img = np.asarray(dst.img) / float(geometry.integrate(dst))
 
+# linear_solver="cg" keeps the example light (64^2 is small enough for
+# Jacobi-CG; the MG path compiles a deeper program — see bench.py for the
+# large-grid MG benchmark).
 w1 = da.wasserstein_distance(
-    src, dst, method="newton", options={"num_iter": 100, "tol_residual": 1e-6}
+    src, dst, method="newton",
+    options={"num_iter": 100, "tol_residual": 1e-6, "linear_solver": "cg"},
 )
 print(f"W1 (Beckmann/Newton): {float(w1):.6f}")
 

@@ -160,6 +160,11 @@ label = "CO2"
 mode = "saturation_g"
 thresholds = [0.5]
 color = [[255, 255, 0]]
+
+[analysis.fingers]
+mode = "saturation_g"
+threshold = 0.5
+include_skeleton_analysis = true
 """)
     return work, results
 
@@ -214,3 +219,40 @@ def test_segmentation_step(workspace, context):
     analysis_segmentation_from_context(context)
     jpgs = list((results / "segmentation" / "default").glob("*.jpg"))
     assert len(jpgs) == 4
+
+
+def test_fingers_step(workspace, context):
+    """Fingers step produces the reference statistics.csv schema
+    (ref analysis_fingers.py:212-226, 940-987) + identity-tracked counts."""
+    import pandas as pd
+
+    from darsia_tpu.presets.workflows.analysis import (
+        analysis_fingers_from_context,
+    )
+
+    _, results = workspace
+    analysis_fingers_from_context(context)
+    stats_path = results / "fingers" / "statistics.csv"
+    assert stats_path.exists()
+    stats = pd.read_csv(stats_path)
+    expected_columns = {
+        "time", "key", "image", "contour_length", "number_tips",
+        "number_fjords", "number_skeleton_leaves",
+        "number_skeleton_junctions", "roi_width", "finger_frequency",
+        "finger_wavelength", "number_fingers", "number_new_fingers",
+        "number_continuing_fingers", "number_ending_fingers",
+        "number_splitting_fingers",
+    }
+    assert expected_columns <= set(stats.columns)
+    assert len(stats) == 4
+    # The plume grows: the late contour is longer than the early one.
+    grown = stats.dropna(subset=["time"]).sort_values("time")
+    assert grown["contour_length"].iloc[-1] > 0
+    # Identity statistics are self-consistent.
+    assert (
+        stats["number_new_fingers"] + stats["number_continuing_fingers"]
+        == stats["number_fingers"]
+    ).all()
+    # Path plots + advance-rate exports written.
+    plots = list((results / "fingers" / "paths").rglob("*.png"))
+    assert plots, "expected per-ROI path plots"

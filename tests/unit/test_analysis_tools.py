@@ -65,16 +65,56 @@ def test_skeleton_analysis():
     assert len(analysis.endpoints()) >= 2
 
 
-def test_path_evolution():
+def test_path_evolution_masks():
     evolution = da.PathEvolutionAnalysis()
     for t, extent in enumerate([10, 15, 20]):
         mask = np.zeros((30, 30), dtype=bool)
         mask[14:17, 2:extent] = True
-        evolution.add(mask, time=float(t))
+        evolution.add_mask(mask, time=float(t))
     assert len(evolution.history) == 3
     assert evolution.history[-1]["skeleton_length"] >= evolution.history[0][
         "skeleton_length"
     ]
+
+
+def test_path_evolution_identity_tracking():
+    """Two advancing fingers keep their identity; a third appears later
+    (reference path_evolution_analysis.py:143-305 semantics)."""
+    evolution = da.PathEvolutionAnalysis()
+    # Times 0..2: finger A advances down col 5, finger B down col 20.
+    evolution.add(np.array([[10, 5], [10, 20]]), time=0.0)
+    evolution.add(np.array([[14, 5], [13, 20]]), time=1.0)
+    # Time 2: a new finger C appears between them.
+    evolution.add(np.array([[18, 5], [15, 12], [16, 20]]), time=2.0)
+    evolution.find_paths()
+
+    assert len(evolution.paths) == 3
+    lengths = sorted(len(p) for p in evolution.paths)
+    assert lengths == [1, 3, 3]
+    # The two long paths advance monotonically in rows.
+    for path in evolution.paths:
+        if len(path) == 3:
+            rows = [unit.position[0] for unit in path]
+            assert rows == sorted(rows)
+
+    counts = evolution.path_counts(2)
+    assert counts["active"] == 3
+    assert counts["new"] == 1
+    assert counts["continuing"] == 2
+
+    rates = evolution.advance_rates()
+    assert len(rates) == 3
+    long_rates = [r for r in rates if r["lifetime_steps"] == 3]
+    assert all(r["advance_rate"] > 0 for r in long_rates)
+
+
+def test_path_evolution_plot(tmp_path):
+    evolution = da.PathEvolutionAnalysis()
+    evolution.add(np.array([[5, 5]]), time=0.0)
+    evolution.add(np.array([[8, 5]]), time=1.0)
+    out = tmp_path / "paths.png"
+    evolution.plot_paths(img=np.zeros((20, 20)), path=out)
+    assert out.exists()
 
 
 class _CalibrableAnalysis(

@@ -249,3 +249,96 @@ class TestRegression:
         spectra = reg.get_color_spectrum(images, baseline=baseline)
         expanded = reg.expand_color_spectrum(spectra, iterations=1)
         assert len(expanded[0].occupancy) > len(spectra[0].occupancy)
+
+    @staticmethod
+    def _curved_spectrum(with_outliers=False):
+        """An L-shaped relative color path: +R then +G (needs >= 2
+        segments to fit), optionally with off-path outliers."""
+        rng = np.random.default_rng(7)
+        t = rng.uniform(0, 2, 600)
+        colors = np.zeros((600, 3))
+        first = t <= 1
+        colors[first, 0] = t[first] * 0.5
+        colors[~first, 0] = 0.5
+        colors[~first, 1] = (t[~first] - 1) * 0.5
+        colors += rng.normal(0, 0.01, colors.shape)
+        if with_outliers:
+            n_out = 30
+            colors[:n_out] = rng.uniform(-0.2, 0.2, (n_out, 3)) + [0.1, -0.3, 0.4]
+        spectrum = da.ColorSpectrum(resolution=21)
+        spectrum.min_color = -np.ones(3)
+        spectrum.max_color = np.ones(3)
+        spectrum.accumulate(colors)
+        return spectrum
+
+    def test_rdp_fit_recovers_corner(self):
+        """RDP segmentation places the interior node at the L-corner
+        (reference's greedy error-driven splitting, :1276-1300)."""
+        reg = da.LabelColorPathMapRegression(
+            labels=_image(np.zeros((4, 4), dtype=int)), resolution=21
+        )
+        spectrum = self._curved_spectrum()
+        path = reg._find_color_path(
+            spectrum, num_segments=2, fit_mode="rdp", weighting="wls"
+        )
+        nodes = np.asarray(path.relative_colors)
+        # Start ~origin, corner ~(0.5, 0, 0), end ~(0.5, 0.5, 0).
+        assert np.linalg.norm(nodes[0]) < 0.1
+        assert np.linalg.norm(nodes[1] - [0.5, 0.0, 0.0]) < 0.15
+        assert np.linalg.norm(nodes[2] - [0.5, 0.5, 0.0]) < 0.15
+
+    def test_rdp_fit_outlier_rejection(self):
+        """The 80th-quantile segment error keeps the fit on-path despite
+        5% gross outliers."""
+        reg = da.LabelColorPathMapRegression(
+            labels=_image(np.zeros((4, 4), dtype=int)), resolution=21
+        )
+        spectrum = self._curved_spectrum(with_outliers=True)
+        path = reg._find_color_path(
+            spectrum, num_segments=2, fit_mode="rdp", weighting="wls"
+        )
+        nodes = np.asarray(path.relative_colors)
+        assert np.linalg.norm(nodes[1] - [0.5, 0.0, 0.0]) < 0.2
+        assert np.linalg.norm(nodes[2] - [0.5, 0.5, 0.0]) < 0.2
+
+    def test_fit_modes_agree_on_straight_path(self):
+        rng = np.random.default_rng(9)
+        t = rng.uniform(0, 1, 400)
+        colors = np.outer(t, [0.4, 0.2, 0.0]) + rng.normal(0, 0.005, (400, 3))
+        spectrum = da.ColorSpectrum(resolution=21)
+        spectrum.min_color = -np.ones(3)
+        spectrum.max_color = np.ones(3)
+        spectrum.accumulate(colors)
+        reg = da.LabelColorPathMapRegression(
+            labels=_image(np.zeros((4, 4), dtype=int)), resolution=21
+        )
+        ends = []
+        for mode in ("rdp", "lloyd"):
+            path = reg._find_color_path(
+                spectrum, num_segments=1, fit_mode=mode, weighting="wls"
+            )
+            ends.append(np.asarray(path.relative_colors[-1]))
+        # Both fitters recover the same path direction; end-node positions
+        # may differ by ~1 histogram bin (bin width 0.1 at resolution 21).
+        dir0 = ends[0] / np.linalg.norm(ends[0])
+        dir1 = ends[1] / np.linalg.norm(ends[1])
+        assert float(dir0 @ dir1) > 0.99
+        assert np.linalg.norm(ends[0] - ends[1]) < 0.2
+
+
+class TestColorPathExtension:
+    def test_refine_extends_path(self):
+        """refine(distance_to_left/right) extrapolates beyond the ends
+        (reference color_path.py:363-403)."""
+        path = da.ColorPath(
+            base_color=np.zeros(3),
+            relative_colors=[np.zeros(3), np.array([0.4, 0.0, 0.0])],
+        )
+        extended = path.refine(
+            num_segments=2, distance_to_left=-0.5, distance_to_right=1.5
+        )
+        nodes = np.asarray(extended.relative_colors)
+        assert nodes.shape[0] == 5  # left + 3 + right
+        np.testing.assert_allclose(nodes[0], [-0.2, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(nodes[-1], [0.6, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(nodes[2], [0.2, 0, 0], atol=1e-6)

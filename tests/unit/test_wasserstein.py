@@ -128,6 +128,84 @@ def test_newton_weighted():
     assert np.isclose(d_w, 2 * TRUE_DISTANCE, rtol=2e-2)
 
 
+def test_newton_high_weight_contrast():
+    """Float32 distance stays accurate at 1e4 weight contrast: weighted W1
+    must sit between min-weight and max-weight scalings of the unweighted
+    W1 and match the smooth-field expectation (docs/ot_precision.md)."""
+    src_img, dst_img = _problem()
+    n = 10
+    yy, xx = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n), indexing="ij")
+    field = np.exp(
+        np.log(1e4) * (0.5 + 0.5 * np.sin(4 * np.pi * xx) * np.cos(2 * np.pi * yy))
+    )
+    weight = da.ScalarImage(field.astype(np.float32), width=1, height=1)
+    # Same options as the docs/ot_precision.md study (default RT quadrature
+    # + cell-based mobility).
+    options = {
+        "num_iter": 400,
+        "tol_residual": 1e-4,
+        "tol_increment": 1e-4,
+        "tol_distance": 1e-4,
+        "L": 1e9,
+        "return_info": True,
+    }
+    d_w, info = da.wasserstein_distance(
+        src_img, dst_img, weight=weight, options=options, method="newton"
+    )
+    assert np.isfinite(d_w) and d_w > 0
+    # Bounds from the unweighted anchor distance.
+    assert field.min() * TRUE_DISTANCE * 0.5 < d_w < field.max() * TRUE_DISTANCE
+    # Regression anchor measured against float64 (docs/ot_precision.md):
+    # W1_f64 = 134.742049530 with rel. f32 error 2.2e-07.
+    assert d_w == pytest.approx(134.742049530, rel=1e-3)
+
+
+def test_newton_float64_matches_float32():
+    """Optional f64 path (options dtype) agrees with f32 to ~1e-5.
+
+    Runs in a subprocess because jax_enable_x64 is a global flag that
+    must be set before device use (the main test session stays f32).
+    """
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = """
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+import darsia_tpu as da
+rows = cols = 10
+src = np.zeros((rows, cols)); src[2:5, 2:5] = 1
+dst = np.zeros((rows, cols)); dst[1:3, 1:2] = 1; dst[4:7, 7:9] = 1
+meta = dict(width=1, height=1, space_dim=2, scalar=True)
+s, d = da.Image(src, **meta), da.Image(dst, **meta)
+g = da.Geometry(**s.shape_metadata())
+s.img = np.asarray(s.img) / g.integrate(s)
+d.img = np.asarray(d.img) / g.integrate(d)
+out = {{}}
+for dtype in ("float32", "float64"):
+    options = dict(num_iter=400, tol_residual=1e-4, tol_increment=1e-4,
+                   tol_distance=1e-4, L=1e9, dtype=dtype)
+    out[dtype] = float(da.wasserstein_distance(s, d, options=options,
+                                               method="newton"))
+rel = abs(out["float32"] - out["float64"]) / abs(out["float64"])
+print("rel", rel)
+assert rel < 1e-5, rel
+""".format(repo=str(Path(__file__).resolve().parents[2]))
+    result = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+
+
 def test_grid_and_fv_operators():
     grid = da.Grid((3, 4), [0.5, 0.25])
     assert grid.num_cells == 12
@@ -166,4 +244,7 @@ def test_wasserstein_3d_two_cubes():
     )
     mass = 27 / n**3
     expected = np.sqrt(3) * 4 / n * mass
-    assert float(w) == pytest.approx(expected, rel=0.05)
+    # 2.6% measured deviation is TPFA discretization error at n=12 (the
+    # diagonal transport is resolved on axis-aligned faces), not float32
+    # roundoff — see docs/ot_precision.md.
+    assert float(w) == pytest.approx(expected, rel=0.03)
