@@ -545,6 +545,137 @@ class Image:
     def show_plain(self, **kwargs) -> None:
         self.show_matplotlib(**kwargs)
 
+    def show_plotly(
+        self,
+        title: str = "",
+        duration: Optional[int] = None,
+        **kwargs,
+    ) -> None:
+        """Show via plotly (reference ``image/image.py:1443-1745``).
+
+        2d images render as ``px.imshow`` with physical axes; 3d scalar
+        images as thresholded Scatter3d / Volume figures per time step.
+        Capability-gated on plotly (like pydicom/meshio for imread).
+
+        Args:
+            title: window title.
+            duration: unused (plotly windows are browser-based).
+            **kwargs: threshold (float), relative (bool), view
+                ("scatter"|"voxel"), surpress_2d / surpress_3d (bool).
+
+        """
+        try:
+            import plotly.express as px
+            import plotly.graph_objects as go
+        except ImportError as exc:  # pragma: no cover
+            raise ImportError(
+                "show_plotly requires plotly; install it or use "
+                "show_matplotlib()."
+            ) from exc
+
+        figures = self._plotly_figures(px, go, title, **kwargs)
+        for fig in figures:
+            fig.show()
+
+    def _plotly_figures(self, px, go, title: str = "", **kwargs) -> list:
+        """Build the plotly figures (separated from show for testability)."""
+        figures = []
+        for time_index in range(self.time_num):
+            _title = title
+            if self.series:
+                rel_time = (
+                    ""
+                    if self.time is None or self.time[time_index] is None
+                    else f" - {self.time[time_index]} sec."
+                )
+                if _title:
+                    _title += " - "
+                _title += f"{time_index}{rel_time}"
+
+            data = self.as_numpy()
+            if self.space_dim == 2:
+                if kwargs.get("surpress_2d", False):
+                    continue
+                array = (
+                    data[..., time_index]
+                    if self.series and self.scalar
+                    else data[..., time_index, :]
+                    if self.series
+                    else data
+                )
+                axes = []
+                for i in range(2):
+                    axis, revert = interpret_indexing("xy"[i], "ij")
+                    relative_axis = np.arange(1, self.num_voxels[axis] + 1)
+                    orientation = -1 if revert else 1
+                    axes.append(
+                        self.origin[i]
+                        + orientation * self.voxel_size[axis] * relative_axis
+                    )
+                show_arr = np.asarray(array, dtype=float)
+                if np.issubdtype(np.asarray(array).dtype, np.integer):
+                    show_arr = show_arr / np.iinfo(np.asarray(array).dtype).max
+                figures.append(
+                    px.imshow(
+                        show_arr,
+                        title=_title,
+                        x=axes[0],
+                        y=axes[1],
+                        aspect="equal",
+                    )
+                )
+            elif self.space_dim == 3:
+                assert self.scalar, "3d plotly views need scalar images."
+                if kwargs.get("surpress_3d", False):
+                    continue
+                array = data[..., time_index] if self.series else data
+                threshold = kwargs.get("threshold", float(np.min(data)))
+                if kwargs.get("relative", False):
+                    threshold = float(np.min(data)) + threshold * float(
+                        np.max(data) - np.min(data)
+                    )
+                active = array > threshold
+                matrix_indices = np.transpose(
+                    np.indices(array.shape[:3]).reshape((3, -1))
+                )
+                coords = np.transpose(
+                    np.asarray(self.coordinatesystem.coordinate(matrix_indices))
+                ).reshape((3,) + array.shape[:3])
+                view = kwargs.get("view", "scatter").lower()
+                if view == "scatter":
+                    figures.append(
+                        go.Figure(
+                            data=go.Scatter3d(
+                                x=coords[0][active].flatten(),
+                                y=coords[1][active].flatten(),
+                                z=coords[2][active].flatten(),
+                                mode="markers",
+                                marker=dict(
+                                    size=3,
+                                    color=array[active].flatten(),
+                                    colorscale="Viridis",
+                                    opacity=0.5,
+                                ),
+                            )
+                        )
+                    )
+                else:
+                    figures.append(
+                        go.Figure(
+                            data=go.Volume(
+                                x=coords[0].flatten(),
+                                y=coords[1].flatten(),
+                                z=coords[2].flatten(),
+                                value=array.flatten(),
+                                isomin=threshold,
+                                isomax=float(np.max(array)),
+                                opacity=0.5,
+                                surface_count=10,
+                            )
+                        )
+                    )
+        return figures
+
     # --------------------------------------------------------------- pytree
 
     def tree_flatten(self):

@@ -458,6 +458,38 @@ class BeckmannProblem:
 
         return jax.jit(solve)
 
+    def _timed_fused_call(self, fused_solve, *args):
+        """Run the fused solve with a setup (trace+compile) vs solve
+        (device execution) timing split.
+
+        Reference info-dict parity (``beckmann_problem.py:1186-1214``:
+        assemble/setup/solve/acceleration): in the fused design the
+        assembly is compiled *into* the solve program, so it is reported
+        as 0 and the XLA trace+compile time is the "setup" phase.
+        """
+        t_setup = 0.0
+        if not getattr(self, "_fused_solve_compiled", False):
+            tic = time.time()
+            try:
+                fused_solve.lower(*args).compile()
+            except Exception:
+                pass  # fall back to compile-on-first-call timing
+            t_setup = time.time() - tic
+            self._fused_solve_compiled = True
+        tic = time.time()
+        outputs = fused_solve(*args)
+        jax_block = outputs[1]
+        float(jax_block)  # force completion (relayed backends)
+        t_solve = time.time() - tic
+        timings = {
+            "setup": t_setup,
+            "assemble": 0.0,
+            "acceleration": 0.0,
+            "solve": t_solve,
+            "total": t_setup + t_solve,
+        }
+        return outputs, timings
+
     def _record_fused_history(self, history, dist, k, status_code, buf, total):
         """Unpack the device metrics buffer into the host history record."""
         k = int(k)
@@ -643,14 +675,13 @@ class BeckmannNewtonSolver(BeckmannProblem):
             self._fused_solve_cache = self._build_fused_outer(newton_step)
         fused_solve = self._fused_solve_cache
 
-        tic = time.time()
-        state, dist, k, status_code, buf = fused_solve(
-            (tuple(fluxes), p), distance, mass_rhs, 0.0
+        outputs, timings = self._timed_fused_call(
+            fused_solve, (tuple(fluxes), p), distance, mass_rhs, 0.0
         )
+        state, dist, k, status_code, buf = outputs
         fluxes, p = state
-        total = time.time() - tic
         distance, status, k = self._record_fused_history(
-            history, dist, k, status_code, buf, total
+            history, dist, k, status_code, buf, timings["solve"]
         )
 
         unweighted = self.transport_density(fluxes, weighted=False)
@@ -661,7 +692,7 @@ class BeckmannNewtonSolver(BeckmannProblem):
             "converged": status == ConvergenceStatus.CONVERGED,
             "number_iterations": max(k - 1, 0),
             "convergence_history": history.as_dict(),
-            "timings": {"total": total},
+            "timings": timings,
             "peak_memory_consumption": peak_device_memory_gb(),
         }
         return distance, fluxes, p, info
@@ -891,20 +922,20 @@ class BeckmannBregmanSolver(BeckmannProblem):
             self._fused_solve_cache = self._build_fused_outer(bregman_step)
         fused_solve = self._fused_solve_cache
 
-        tic = time.time()
         # Bregman normalizes the residual criterion by ||mass_rhs||
         # (host-loop parity below).
         res_norm = float(jnp.linalg.norm(mass_rhs))
-        state, dist, k, status_code, buf = fused_solve(
+        outputs, timings = self._timed_fused_call(
+            fused_solve,
             (tuple(fluxes), p, tuple(d_aux), tuple(b_aux)),
             distance,
             mass_rhs,
             max(res_norm, 1e-30),
         )
+        state, dist, k, status_code, buf = outputs
         fluxes, p, _, _ = state
-        total = time.time() - tic
         distance, status, k = self._record_fused_history(
-            history, dist, k, status_code, buf, total
+            history, dist, k, status_code, buf, timings["solve"]
         )
 
         unweighted = self.transport_density(fluxes, weighted=False)
@@ -914,7 +945,7 @@ class BeckmannBregmanSolver(BeckmannProblem):
             "converged": status == ConvergenceStatus.CONVERGED,
             "number_iterations": max(k - 1, 0),
             "convergence_history": history.as_dict(),
-            "timings": {"total": total},
+            "timings": timings,
             "peak_memory_consumption": peak_device_memory_gb(),
         }
         return distance, fluxes, p, info
@@ -1156,17 +1187,17 @@ class BeckmannGproxPGHDSolver(BeckmannProblem):
                     return (f, bar, phi_new), metrics
 
                 self._fused_solve_cache = self._build_fused_outer(gprox_step)
-            tic = time.time()
-            state, dist, k, status_code, buf = self._fused_solve_cache(
+            outputs, timings = self._timed_fused_call(
+                self._fused_solve_cache,
                 (tuple(fluxes), tuple(fluxes_bar), phi),
                 distance,
                 mass_rhs,
                 0.0,
             )
+            state, dist, k, status_code, buf = outputs
             fluxes, fluxes_bar, phi = state
-            total = time.time() - tic
             distance, status, k = self._record_fused_history(
-                history, dist, k, status_code, buf, total
+                history, dist, k, status_code, buf, timings["solve"]
             )
             unweighted = self.transport_density(fluxes, weighted=False)
             info = {
@@ -1175,7 +1206,7 @@ class BeckmannGproxPGHDSolver(BeckmannProblem):
                 "converged": status == ConvergenceStatus.CONVERGED,
                 "number_iterations": max(k - 1, 0),
                 "convergence_history": history.as_dict(),
-                "timings": {"total": total},
+                "timings": timings,
                 "peak_memory_consumption": peak_device_memory_gb(),
             }
             # Kantorovich potential = phi (up to scaling).

@@ -12,7 +12,12 @@ from typing import Union
 
 import numpy as np
 
-__all__ = ["gauss", "gauss_reference_cell", "reference_cell_corners"]
+__all__ = [
+    "gauss",
+    "gauss_reference_cell",
+    "gauss_reference_face",
+    "reference_cell_corners",
+]
 
 _MAX_ORDER = {1: 4, 2: 3, 3: 2}
 
@@ -36,6 +41,31 @@ def gauss_reference_cell(dim: int, order: Union[int, str]):
     pts, weights = gauss(dim, order)
     pts = (np.atleast_2d(pts).reshape(-1, dim) + 1.0) / 2.0
     weights = weights / np.sum(weights)
+    return pts, weights
+
+
+def gauss_reference_face(
+    dim: int, axis: int, side: int = 0, order: Union[int, str] = "max"
+):
+    """Quadrature on one face of the unit cube, embedded in cell coords.
+
+    The face is the (dim-1)-cube with coordinate ``axis`` fixed to
+    ``side`` (0 or 1).  Points have shape (N, dim); weights are
+    normalized to 1 (so integrating f over the face is mean(w*f) times
+    the face area).  Supplies the "faces" half of the reference's
+    quadrature module (``utils/quadrature.py``) — used e.g. for face-based
+    L1 modes and flux reconstructions.
+    """
+    assert 0 <= axis < dim and side in (0, 1)
+    if dim == 1:
+        return np.array([[float(side)]]), np.array([1.0])
+    face_pts, weights = gauss_reference_cell(dim - 1, order)
+    face_pts = np.atleast_2d(face_pts).reshape(-1, dim - 1)
+    pts = np.empty((face_pts.shape[0], dim))
+    other = [d for d in range(dim) if d != axis]
+    pts[:, axis] = float(side)
+    for k, d in enumerate(other):
+        pts[:, d] = face_pts[:, k]
     return pts, weights
 
 

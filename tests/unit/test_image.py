@@ -141,3 +141,127 @@ def test_reduce_axis_3d():
     assert reduced.space_dim == 2
     assert reduced.shape == (6, 8)
     assert np.allclose(reduced.as_numpy(), arr.mean(axis=0), atol=1e-6)
+
+
+def test_show_plotly_figures_and_gating():
+    """show_plotly builds reference-shaped figures (image.py:1443) and is
+    capability-gated on plotly."""
+
+    class FakeFig:
+        def __init__(self, **kw):
+            self.kw = kw
+
+    class FakePX:
+        @staticmethod
+        def imshow(arr, **kw):
+            return FakeFig(arr=arr, **kw)
+
+    class FakeGO:
+        class Scatter3d:
+            def __init__(self, **kw):
+                self.kw = kw
+
+        class Volume:
+            def __init__(self, **kw):
+                self.kw = kw
+
+        class Figure:
+            def __init__(self, data=None):
+                self.data = data
+
+    img = da.ScalarImage(
+        np.random.default_rng(0).random((8, 12)), width=1.2, height=0.8
+    )
+    figs = img._plotly_figures(FakePX, FakeGO, title="t")
+    assert len(figs) == 1
+    assert figs[0].kw["x"].shape == (12,) and figs[0].kw["y"].shape == (8,)
+
+    vol = da.ScalarImage(
+        np.random.default_rng(1).random((6, 6, 6)), dimensions=[1, 1, 1], dim=3
+    )
+    figs3 = vol._plotly_figures(FakePX, FakeGO, threshold=0.5)
+    assert len(figs3) == 1 and isinstance(figs3[0].data, FakeGO.Scatter3d)
+    figs3v = vol._plotly_figures(FakePX, FakeGO, view="voxel", threshold=0.5)
+    assert isinstance(figs3v[0].data, FakeGO.Volume)
+
+    try:
+        import plotly  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="plotly"):
+            img.show_plotly()
+
+
+def test_dtype_fidelity_contract():
+    """uint8/uint16 <-> float round trips preserve values to 1/max_int
+    (SURVEY §7 hard part (d): the reference mixes uint8/uint16/float64)."""
+    rng = np.random.default_rng(2)
+    for dtype, atol in ((np.uint8, 1 / 255), (np.uint16, 1 / 65535)):
+        arr = rng.integers(0, np.iinfo(dtype).max, (12, 10, 3)).astype(dtype)
+        img = da.OpticalImage(arr, width=1.0, height=1.0)
+        as_float = img.astype(np.float32)
+        assert np.asarray(as_float.img).dtype == np.float32
+        assert float(np.max(np.asarray(as_float.img))) <= 1.0
+        back = as_float.astype(dtype)
+        assert np.asarray(back.img).dtype == dtype
+        np.testing.assert_array_equal(np.asarray(back.img), arr)
+        # float32 is the processing dtype: the round trip above must be
+        # exact, and float values stay within atol of the integer grid.
+        np.testing.assert_allclose(
+            np.asarray(as_float.img),
+            arr.astype(np.float64) / np.iinfo(dtype).max,
+            atol=atol,
+        )
+
+
+def test_exif_date_missing_and_present(tmp_path):
+    """EXIF acquisition datetime is parsed when present, None otherwise
+    (reference imread.py:261)."""
+    import cv2
+
+    from darsia_tpu.image.imread import _exif_date
+
+    # Plain cv2-written JPEG: no EXIF.
+    plain = tmp_path / "plain.jpg"
+    cv2.imwrite(str(plain), np.zeros((4, 4, 3), np.uint8))
+    assert _exif_date(plain) is None
+
+    # PIL-written JPEG with DateTime EXIF tag 306.
+    from PIL import Image as PILImage
+
+    tagged = tmp_path / "tagged.jpg"
+    im = PILImage.new("RGB", (4, 4))
+    exif = im.getexif()
+    exif[306] = "2026:08:16 12:34:56"
+    im.save(tagged, exif=exif)
+    date = _exif_date(tagged)
+    assert date is not None and date.year == 2026 and date.second == 56
+
+
+def test_time_slicing_metadata_edge_cases():
+    """Time slicing keeps dates/times aligned; single-step series and
+    out-of-order interval handling."""
+    from datetime import datetime
+
+    arr = np.random.default_rng(5).random((6, 6, 4))
+    dates = [datetime(2026, 8, 16, 10 + i) for i in range(4)]
+    img = da.Image(
+        arr,
+        series=True,
+        scalar=True,
+        time=[0.0, 60.0, 120.0, 180.0],
+        date=dates,
+        dimensions=[1, 1],
+    )
+    # Scalar series: slice each step, metadata follows.
+    for i in range(4):
+        sliced = img.time_slice(i)
+        assert sliced.time == img.time[i]
+        assert sliced.date == dates[i]
+    # Interval of length 1 stays a series.
+    one = img.time_interval(slice(2, 3))
+    assert one.series and one.time_num == 1
+    assert one.time == [120.0]
+    # Negative-step slicing errors out clearly or reverses consistently.
+    interval = img.time_interval(slice(1, 4))
+    assert interval.time == [60.0, 120.0, 180.0]
+    assert interval.date == dates[1:4]
