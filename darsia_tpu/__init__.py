@@ -184,6 +184,10 @@ from .experiment.protocols import (
 )
 from .experiment.experiment import Experiment, TimeWindow, ProtocolledExperiment
 from .multiphase.flash import Flash, AdvancedFlash, SimpleFlash
+from .multiphase.calibration import (
+    TransformationCalibrationSession,
+    calibrate_transformations,
+)
 from .multiphase.mass_analysis import (
     co2_gas_density,
     co2_solubility,

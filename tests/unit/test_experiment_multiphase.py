@@ -194,3 +194,79 @@ def test_tracer_analysis_manager(tmp_path):
     analysis = _SimpleTracer(base_path, config_path)
     tracer = analysis.single_image_analysis(base_path)
     assert np.asarray(tracer.img).max() < 0.05  # baseline vs itself
+
+
+class TestTransformationCalibration:
+    """Headless propose -> preview -> accept calibration stepper
+    (reference multiphase/calibration.py:17-430 slider UI equivalent)."""
+
+    def _session(self, tmp_path, true_scale=2.0):
+        # Synthetic: signal fields whose "detected mass" depends linearly
+        # on the gas transformation's end value; expected mass grows
+        # linearly in time with slope true_scale * base.
+        H, W = 8, 10
+        geometry = da.Geometry(space_dim=2, num_voxels=(H, W), dimensions=[1, 1])
+        analysis = da.MultiphaseTimeSeriesAnalysis(geometry)
+        tf_g = da.PWTransformation(supports=[0.0, 1.0], values=[0.0, 1.0])
+        tf_aq = da.PWTransformation(supports=[0.0, 1.0], values=[0.0, 1.0])
+        times = [0.5, 1.0, 1.5, 2.0]
+        paths = [tmp_path / f"img_{i}.npz" for i in range(len(times))]
+        signals = {}
+        for p, t in zip(paths, times):
+            signal = np.full((H, W), 0.5, np.float32)
+            signals[p] = (signal, t)
+            p.write_bytes(b"")  # placeholder file
+
+        def read_image(path):
+            return path  # pre-mass works on the path key directly
+
+        def pre_mass_analysis(path):
+            return signals[path]
+
+        def mass_analysis_from_pre(pre):
+            signal, t = pre
+            # Detected mass scales with the transformation end value.
+            mass_map = da.ScalarImage(
+                tf_g(signal) * t, width=1.0, height=1.0
+            )
+            zero = da.ScalarImage(np.zeros((H, W), np.float32), width=1, height=1)
+            return da.MassAnalysisResults(
+                time=t, mass=mass_map, mass_g=mass_map, mass_aq=zero
+            )
+
+        expected = lambda t: true_scale * 0.5 * t  # noqa: E731
+        return da.TransformationCalibrationSession(
+            tf_g,
+            tf_aq,
+            paths,
+            analysis,
+            upper_time_limit=1.25,
+            read_image=read_image,
+            pre_mass_analysis=pre_mass_analysis,
+            mass_analysis_from_pre=mass_analysis_from_pre,
+            expected_mass=expected,
+            log=tmp_path / "log",
+        )
+
+    def test_propose_preview_accept(self, tmp_path):
+        session = self._session(tmp_path)
+        first = session.propose()
+        assert first["error"] > 0
+        better = session.propose(values_g=[0.0, 2.0])
+        assert better["error"] < first["error"] * 1e-6  # exact match
+        preview = session.preview(path=tmp_path / "preview.png")
+        assert (tmp_path / "preview.png").exists()
+        np.testing.assert_allclose(
+            preview["detected_mass"], preview["expected_mass"], rtol=1e-6
+        )
+        tf_g, _ = session.accept()
+        assert (tmp_path / "log" / "calibration_log.npz").exists()
+        log = np.load(tmp_path / "log" / "calibration_log.npz")
+        assert log["error"].shape[0] == 2
+        assert tf_g.values[-1] == pytest.approx(2.0)
+
+    def test_auto_recovers_scale(self, tmp_path):
+        session = self._session(tmp_path, true_scale=3.0)
+        metrics = session.auto(maxiter=200, calibrate="g")
+        assert session.transformation_g.values[-1] == pytest.approx(3.0, rel=0.05)
+        assert metrics["error"] < 1e-4
