@@ -375,6 +375,7 @@ from .presets.workflows.simple_run_analysis import SimpleRunAnalysis
 from .presets.workflows.heterogeneous_color_analysis import HeterogeneousColorAnalysis
 from .presets.workflows.heterogeneous_color_to_mass_analysis import (
     HeterogeneousColorToMassAnalysis,
+    HeterogeneousCalibrationSession,
 )
 from .presets.workflows.analysis.expert_knowledge import ExpertKnowledgeAdapter
 from .signals.models.thresholdmodel import ThresholdModel

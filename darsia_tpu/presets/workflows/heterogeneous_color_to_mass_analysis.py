@@ -26,7 +26,10 @@ from .simple_run_analysis import SimpleRunAnalysis
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["HeterogeneousColorToMassAnalysis"]
+__all__ = [
+    "HeterogeneousColorToMassAnalysis",
+    "HeterogeneousCalibrationSession",
+]
 
 
 class HeterogeneousColorToMassAnalysis:
@@ -144,6 +147,16 @@ class HeterogeneousColorToMassAnalysis:
         self.flash.update(**kwargs)
 
     # ------------------------------------------------------------ calibrate
+
+    def manual_calibration_session(
+        self, images: list, experiment, log=None
+    ) -> "HeterogeneousCalibrationSession":
+        """Headless equivalent of the reference's manual slider UI
+        (reference :183-2550): a propose -> preview -> accept stepper over
+        the per-label signal functions and flash bounds.  The expensive
+        color interpretation is cached per image; each proposal re-runs
+        only the pH/flash/mass tail."""
+        return HeterogeneousCalibrationSession(self, images, experiment, log)
 
     def automatic_calibration(
         self,
@@ -315,3 +328,106 @@ class HeterogeneousColorToMassAnalysis:
             interpretation = ColorPathInterpolation.load(file)
             self.color_path_interpretation[label] = interpretation
             self.color_analysis.model[0][label] = interpretation
+
+
+class HeterogeneousCalibrationSession:
+    """Propose -> preview -> accept stepper for the heterogeneous chain.
+
+    Headless redesign of the reference's ~2,400-line manual calibration UI
+    (reference heterogeneous_color_to_mass_analysis.py:183-2550): every
+    control the sliders expose — per-label signal-function values and the
+    flash bounds — is a keyword of :meth:`propose`; :meth:`preview`
+    returns (and optionally plots) detected vs expected masses;
+    :meth:`accept` persists the iteration log.
+    """
+
+    def __init__(self, chain, images: list, experiment, log=None) -> None:
+        self.chain = chain
+        self.log = Path(log) if log is not None else None
+        self.iterations: list[dict] = []
+        # Cache the expensive color interpretation once (the reference UI
+        # does the same before opening the sliders, :2450).
+        self.color_interpretations = [
+            chain.call_color_interpretation(image) for image in images
+        ]
+        self.times = [
+            float(np.asarray(img.time)) / 3600.0 if img.time is not None else 0.0
+            for img in images
+        ]
+        self.expected = [
+            float(experiment.injection_protocol.injected_mass(time=t))
+            for t in self.times
+        ]
+
+    def _evaluate(self) -> dict:
+        detected = []
+        for interp in self.color_interpretations:
+            pH = self.chain.call_pH_analysis(interp)
+            result = self.chain.call_flash_and_mass_analysis(pH)
+            detected.append(float(self.chain.geometry.integrate(result.mass)))
+        detected_arr = np.asarray(detected)
+        expected_arr = np.asarray(self.expected)
+        rel = np.abs(detected_arr - expected_arr) / np.maximum(
+            expected_arr, 1e-12
+        )
+        return {
+            "time": np.asarray(self.times),
+            "detected_mass": detected_arr,
+            "expected_mass": expected_arr,
+            "error": float(np.square(detected_arr - expected_arr).sum()),
+            "relative_errors": rel,
+        }
+
+    def propose(
+        self,
+        signal_values: Optional[dict] = None,
+        flash_bounds: Optional[dict] = None,
+    ) -> dict:
+        """Apply slider moves: per-label signal-function values and/or
+        flash bounds (min/max_value_aq, min/max_value_g)."""
+        if signal_values:
+            for label, values in signal_values.items():
+                self.chain.update_signal_function(int(label), values=values)
+        if flash_bounds:
+            self.chain.update_flash(**flash_bounds)
+        metrics = self._evaluate()
+        self.iterations.append(
+            {
+                "iteration": len(self.iterations),
+                "error": metrics["error"],
+                "signal_values": {
+                    int(l): np.array(
+                        self.chain.signal_model.model[1][l].values, copy=True
+                    )
+                    for l in self.chain.signal_model.model[1].keys()
+                },
+            }
+        )
+        return metrics
+
+    def preview(self, path=None) -> dict:
+        metrics = self._evaluate()
+        if path is not None:
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots()
+            ax.plot(metrics["time"], metrics["detected_mass"], "o-",
+                    label="detected")
+            ax.plot(metrics["time"], metrics["expected_mass"], "k--",
+                    label="expected")
+            ax.set_xlabel("time [h]")
+            ax.set_ylabel("mass [kg]")
+            ax.legend()
+            fig.savefig(Path(path))
+            plt.close(fig)
+        return metrics
+
+    def accept(self):
+        if self.log is not None:
+            self.log.mkdir(parents=True, exist_ok=True)
+            np.savez(
+                self.log / "calibration_log.npz",
+                error=np.asarray([it["error"] for it in self.iterations]),
+            )
+            self.chain.save(self.log / "calibrated")
+        return self.chain

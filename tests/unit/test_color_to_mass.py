@@ -120,6 +120,43 @@ class TestColorToMassChain:
         assert abs(after - 0.002) < abs(before - 0.002)
         assert abs(after - 0.002) / 0.002 < 0.2
 
+    def test_manual_calibration_session(self, chain_setup, tmp_path):
+        """Headless propose/preview/accept stepper over the chain's signal
+        functions + flash bounds (reference manual UI :183-2550)."""
+        chain, img, geom = chain_setup
+
+        class Protocol:
+            def injected_mass(self, date=None, time=None):
+                return 0.002
+
+        class Exp:
+            injection_protocol = Protocol()
+
+        session = chain.manual_calibration_session(
+            [img], Exp(), log=tmp_path / "log"
+        )
+        baseline_metrics = session.propose()
+        assert baseline_metrics["error"] >= 0
+        # A slider move changes the chain and re-evaluates cheaply.
+        label = sorted(chain.signal_model.model[1].keys())[0]
+        old_values = np.asarray(chain.signal_model.model[1][label].values)
+        moved = session.propose(
+            signal_values={label: old_values * 1.2}
+        )
+        np.testing.assert_allclose(
+            chain.signal_model.model[1][label].values, old_values * 1.2
+        )
+        assert len(session.iterations) == 2
+        preview = session.preview(path=tmp_path / "preview.png")
+        assert (tmp_path / "preview.png").exists()
+        assert preview["detected_mass"].shape == (1,)
+        calibrated = session.accept()
+        assert calibrated is chain
+        assert (tmp_path / "log" / "calibration_log.npz").exists()
+        assert (tmp_path / "log" / "calibrated").exists()
+        # moved is a valid metrics dict from the proposal
+        assert np.isfinite(moved["error"])
+
     def test_save_load_roundtrip(self, chain_setup, tmp_path):
         chain, img, geom = chain_setup
         reference = float(geom.integrate(chain(img).mass))
