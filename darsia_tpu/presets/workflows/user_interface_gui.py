@@ -1,76 +1,364 @@
-"""Tkinter GUI launcher for the workflow steps.
+"""Tkinter GUI for the workflow steps.
 
 Parity: reference ``presets/workflows/user_interface_gui.py`` (2,394 LoC
-Tkinter app with multiprocessing workers).  This compact version provides
-the same process model — workflow steps run in worker processes with log
-and progress queues — behind a minimal Tk window; on headless systems it
-exits with a clear message pointing to the CLI front-ends.
+Tkinter app).  Same architecture: workflow steps run in ``multiprocessing``
+worker processes; logs, typed progress events, and low-resolution preview
+frames are forwarded over queues; a session cache (JSON) remembers the
+last configuration between launches; worker crashes are reported over the
+queue with an error sentinel.
+
+The queue protocol and session management live in the headless-testable
+:class:`GuiSession` / :class:`WorkerHandle` (the reference tests its GUI
+the same way — "GUI logic tested headlessly via queue protocol, no
+display", SURVEY §4); the Tk layer on top renders log panes, per-step
+progress bars, and streamed preview images.
 """
 
 from __future__ import annotations
 
+import json
 import logging
+import logging.handlers
 import multiprocessing as mp
 import queue
 import sys
+import time
+from dataclasses import dataclass, field
 from pathlib import Path
+from typing import Callable, Optional
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["launch_gui", "run_step_in_worker", "main"]
+__all__ = ["GuiSession", "WorkerHandle", "launch_gui", "run_step_in_worker", "main"]
 
-_STEPS = {
-    "setup: rig": ("darsia_tpu.presets.workflows.setup", "setup_rig"),
-    "setup: depth": ("darsia_tpu.presets.workflows.setup", "setup_depth_map"),
+# Error sentinel prefix (reference user_interface_gui.py:37).
+ERROR_SENTINEL = "__DARSIA_WORKER_ERROR__:"
+
+# Registry of launchable steps: label -> (module, function, kind).
+# kind "context" steps receive (ctx, progress_callback, stream_callback);
+# kind "config" steps receive the config path.
+STEP_REGISTRY = {
+    "setup: rig": (
+        "darsia_tpu.presets.workflows.setup", "setup_rig", "config",
+    ),
+    "setup: depth": (
+        "darsia_tpu.presets.workflows.setup", "setup_depth_map", "config",
+    ),
+    "setup: facies": (
+        "darsia_tpu.presets.workflows.setup", "setup_facies", "config",
+    ),
+    "setup: labeling": (
+        "darsia_tpu.presets.workflows.setup", "setup_labeling", "config",
+    ),
+    "setup: protocols": (
+        "darsia_tpu.presets.workflows.setup", "setup_protocols", "config",
+    ),
     "calibration: color paths": (
         "darsia_tpu.presets.workflows.calibration",
-        "calibration_color_paths",
+        "calibration_color_paths", "config",
     ),
     "calibration: color to mass": (
         "darsia_tpu.presets.workflows.calibration",
-        "calibration_color_to_mass_analysis",
+        "calibration_color_to_mass_analysis", "config",
+    ),
+    "analysis: cropping": (
+        "darsia_tpu.presets.workflows.analysis",
+        "analysis_cropping_from_context", "context",
+    ),
+    "analysis: segmentation": (
+        "darsia_tpu.presets.workflows.analysis",
+        "analysis_segmentation_from_context", "context",
+    ),
+    "analysis: thresholding": (
+        "darsia_tpu.presets.workflows.analysis",
+        "analysis_thresholding_from_context", "context",
+    ),
+    "analysis: fingers": (
+        "darsia_tpu.presets.workflows.analysis",
+        "analysis_fingers_from_context", "context",
     ),
     "analysis: mass": (
         "darsia_tpu.presets.workflows.analysis",
-        "run_mass_analysis",
+        "analysis_mass_from_context", "context",
+    ),
+    "analysis: volume": (
+        "darsia_tpu.presets.workflows.analysis",
+        "analysis_volume_from_context", "context",
+    ),
+    "comparison: wasserstein": (
+        "darsia_tpu.presets.workflows.comparison",
+        "comparison_wasserstein", "config",
     ),
 }
 
 
-def _worker(module_name: str, function_name: str, config_path: str, log_queue):
-    import importlib
+def _worker(
+    module_name: str,
+    function_name: str,
+    kind: str,
+    config_path: str,
+    all_images: bool,
+    log_queue,
+    progress_queue,
+    preview_queue,
+) -> None:
+    """Worker entry point: run one step, forward logs/progress/previews.
 
-    handler = logging.handlers.QueueHandler(log_queue) if hasattr(
-        logging, "handlers"
-    ) else None
-    if handler is not None:
-        logging.getLogger().addHandler(handler)
-        logging.getLogger().setLevel(logging.INFO)
-    module = importlib.import_module(module_name)
+    Reference parity: QueueLogHandler + stream/progress queues
+    (``user_interface_gui.py:722-870``); any exception is reported over
+    the log queue with the error sentinel instead of killing the GUI.
+    """
+    root_logger = logging.getLogger()
+    root_logger.addHandler(logging.handlers.QueueHandler(log_queue))
+    root_logger.setLevel(logging.INFO)
+
+    def progress_callback(event: dict) -> None:
+        try:
+            progress_queue.put_nowait(event)
+        except Exception:
+            pass
+
+    def stream_callback(images: dict) -> None:
+        try:
+            preview_queue.put_nowait(images)
+        except Exception:
+            pass
+
     try:
-        getattr(module, function_name)(Path(config_path))
-        log_queue.put(("done", f"{function_name} finished."))
-    except Exception as e:  # surface errors to the GUI log
-        log_queue.put(("error", f"{function_name} failed: {e}"))
+        import importlib
+
+        module = importlib.import_module(module_name)
+        function = getattr(module, function_name)
+        if kind == "context":
+            from .analysis.analysis_context import prepare_analysis_context
+            from .rig import Rig
+
+            ctx = prepare_analysis_context(
+                cls=Rig,
+                path=Path(config_path),
+                all=all_images,
+                require_color_to_mass=function_name
+                in ("analysis_mass_from_context", "analysis_volume_from_context",
+                    "analysis_fingers_from_context"),
+            )
+            kwargs = {}
+            import inspect
+
+            signature = inspect.signature(function)
+            if "progress_callback" in signature.parameters:
+                kwargs["progress_callback"] = progress_callback
+            if "stream_callback" in signature.parameters:
+                kwargs["stream_callback"] = stream_callback
+            function(ctx, **kwargs)
+        else:
+            function(Path(config_path))
+        progress_queue.put(("__done__", function_name))
+    except Exception as exc:  # surface errors to the GUI over the queue
+        import traceback
+
+        log_queue.put(
+            logging.makeLogRecord(
+                {
+                    "msg": f"{ERROR_SENTINEL}{function_name} failed: {exc}\n"
+                    + traceback.format_exc(limit=10),
+                    "levelno": logging.ERROR,
+                    "levelname": "ERROR",
+                }
+            )
+        )
+        progress_queue.put(("__failed__", str(exc)))
+
+
+@dataclass
+class WorkerHandle:
+    """A running workflow step with its communication queues."""
+
+    step: str
+    process: mp.Process
+    log_queue: mp.Queue
+    progress_queue: mp.Queue
+    preview_queue: mp.Queue
+    started_at: float = field(default_factory=time.time)
+    finished: bool = False
+    failed: bool = False
+
+    def alive(self) -> bool:
+        return self.process.is_alive()
+
+    def poll(
+        self,
+        on_log: Optional[Callable[[str], None]] = None,
+        on_progress: Optional[Callable[[dict], None]] = None,
+        on_preview: Optional[Callable[[dict], None]] = None,
+        max_events: int = 256,
+    ) -> dict:
+        """Drain the queues into callbacks; returns drained counts."""
+        counts = {"log": 0, "progress": 0, "preview": 0}
+        for _ in range(max_events):
+            try:
+                record = self.log_queue.get_nowait()
+            except queue.Empty:
+                break
+            counts["log"] += 1
+            message = (
+                record.getMessage()
+                if isinstance(record, logging.LogRecord)
+                else str(record)
+            )
+            if message.startswith(ERROR_SENTINEL):
+                self.failed = True
+                message = message[len(ERROR_SENTINEL):]
+            if on_log is not None:
+                on_log(message)
+        for _ in range(max_events):
+            try:
+                event = self.progress_queue.get_nowait()
+            except queue.Empty:
+                break
+            counts["progress"] += 1
+            if isinstance(event, tuple) and event and event[0] == "__done__":
+                self.finished = True
+                continue
+            if isinstance(event, tuple) and event and event[0] == "__failed__":
+                self.finished = True
+                self.failed = True
+                continue
+            if on_progress is not None:
+                on_progress(event)
+        for _ in range(max_events):
+            try:
+                images = self.preview_queue.get_nowait()
+            except queue.Empty:
+                break
+            counts["preview"] += 1
+            if on_preview is not None:
+                on_preview(images)
+        return counts
+
+    def stop(self) -> None:
+        if self.process.is_alive():
+            self.process.terminate()
+            self.process.join(timeout=5)
+
+
+class GuiSession:
+    """Headless GUI core: step registry, workers, session cache.
+
+    The session cache (JSON) stores the last selected config files, step
+    and flags, so relaunching the GUI restores the previous state
+    (reference session cache, ``user_interface_gui.py``).
+    """
+
+    def __init__(self, cache_path: Optional[Path] = None) -> None:
+        self.cache_path = (
+            Path(cache_path)
+            if cache_path is not None
+            else Path.home() / ".darsia_tpu" / "gui_session.json"
+        )
+        self.state: dict = {
+            "config": None,
+            "last_step": None,
+            "all_images": False,
+            "history": [],
+        }
+        self.load_cache()
+        self.workers: list[WorkerHandle] = []
+
+    # ------------------------------------------------------------ cache
+
+    def load_cache(self) -> None:
+        try:
+            if self.cache_path.exists():
+                self.state.update(json.loads(self.cache_path.read_text()))
+        except Exception:
+            logger.warning("Session cache unreadable; starting fresh.")
+
+    def save_cache(self) -> None:
+        try:
+            self.cache_path.parent.mkdir(parents=True, exist_ok=True)
+            self.cache_path.write_text(json.dumps(self.state, indent=2))
+        except OSError:
+            logger.warning("Session cache not writable.")
+
+    def set_config(self, config_path) -> None:
+        self.state["config"] = str(config_path)
+        self.save_cache()
+
+    # ----------------------------------------------------------- workers
+
+    @property
+    def steps(self) -> list:
+        return list(STEP_REGISTRY)
+
+    def start_step(
+        self,
+        step: str,
+        config_path=None,
+        all_images: Optional[bool] = None,
+    ) -> WorkerHandle:
+        if step not in STEP_REGISTRY:
+            raise KeyError(f"Unknown step {step!r}; known: {self.steps}")
+        config = str(config_path or self.state.get("config") or "")
+        if not config:
+            raise ValueError("No config selected.")
+        module_name, function_name, kind = STEP_REGISTRY[step]
+        all_flag = (
+            self.state.get("all_images", False)
+            if all_images is None
+            else bool(all_images)
+        )
+        # "spawn" keeps workers safe with an initialized JAX runtime in
+        # the parent (forking a live TPU/XLA client can deadlock).
+        ctx = mp.get_context("spawn")
+        log_queue: mp.Queue = ctx.Queue()
+        progress_queue: mp.Queue = ctx.Queue()
+        preview_queue: mp.Queue = ctx.Queue()
+        process = ctx.Process(
+            target=_worker,
+            args=(
+                module_name, function_name, kind, config, all_flag,
+                log_queue, progress_queue, preview_queue,
+            ),
+            daemon=True,
+        )
+        process.start()
+        handle = WorkerHandle(
+            step=step,
+            process=process,
+            log_queue=log_queue,
+            progress_queue=progress_queue,
+            preview_queue=preview_queue,
+        )
+        self.workers.append(handle)
+        self.state["last_step"] = step
+        self.state.setdefault("history", []).append(
+            {"step": step, "config": config, "started_at": handle.started_at}
+        )
+        self.state["history"] = self.state["history"][-50:]
+        self.save_cache()
+        return handle
+
+    def stop_all(self) -> None:
+        for handle in self.workers:
+            handle.stop()
 
 
 def run_step_in_worker(step: str, config_path: str):
-    """Spawn a workflow step in a worker process; returns (process, queue)."""
-    module_name, function_name = _STEPS[step]
-    log_queue: mp.Queue = mp.Queue()
-    process = mp.Process(
-        target=_worker,
-        args=(module_name, function_name, config_path, log_queue),
-        daemon=True,
-    )
-    process.start()
-    return process, log_queue
+    """Back-compat helper: spawn a step, return (process, log_queue)."""
+    session = GuiSession(cache_path=Path("/tmp/darsia_tpu_gui_compat.json"))
+    handle = session.start_step(step, config_path)
+    return handle.process, handle.log_queue
+
+
+# --------------------------------------------------------------------- Tk
 
 
 def launch_gui(config_path=None) -> None:
+    """Tk shell over :class:`GuiSession`: step buttons, log pane, progress
+    bar, and streamed preview images."""
     try:
         import tkinter as tk
-        from tkinter import filedialog, scrolledtext
+        from tkinter import filedialog, scrolledtext, ttk
     except Exception as e:
         raise RuntimeError(
             "Tkinter is not available in this environment. Use the CLI "
@@ -79,51 +367,103 @@ def launch_gui(config_path=None) -> None:
             "--config config.toml --mass"
         ) from e
 
+    session = GuiSession()
+    if config_path is not None:
+        session.set_config(config_path)
+
     root = tk.Tk()
     root.title("darsia_tpu workflows")
-    state = {"config": config_path, "process": None, "queue": None}
 
-    log_box = scrolledtext.ScrolledText(root, width=100, height=24)
-    log_box.grid(row=2, column=0, columnspan=len(_STEPS) + 1)
+    # Top bar: config chooser + all-images toggle.
+    top = tk.Frame(root)
+    top.pack(fill="x")
+    config_var = tk.StringVar(value=session.state.get("config") or "")
+    all_var = tk.BooleanVar(value=bool(session.state.get("all_images")))
+
+    def choose_config() -> None:
+        chosen = filedialog.askopenfilename(filetypes=[("TOML", "*.toml")])
+        if chosen:
+            session.set_config(chosen)
+            config_var.set(chosen)
+
+    tk.Button(top, text="Choose config", command=choose_config).pack(
+        side="left"
+    )
+    tk.Label(top, textvariable=config_var, anchor="w").pack(
+        side="left", fill="x", expand=True
+    )
+    tk.Checkbutton(top, text="all images", variable=all_var).pack(side="right")
+
+    # Step buttons grouped by category.
+    buttons = tk.Frame(root)
+    buttons.pack(fill="x")
+    progress = ttk.Progressbar(root, maximum=1.0)
+    progress.pack(fill="x")
+    status_var = tk.StringVar(value="idle")
+    tk.Label(root, textvariable=status_var, anchor="w").pack(fill="x")
+
+    log_box = scrolledtext.ScrolledText(root, width=110, height=20)
+    log_box.pack(fill="both", expand=True)
+    preview_label = tk.Label(root)
+    preview_label.pack()
+    preview_ref = {"image": None}
 
     def log(message: str) -> None:
         log_box.insert(tk.END, message + "\n")
         log_box.see(tk.END)
 
-    def choose_config() -> None:
-        state["config"] = filedialog.askopenfilename(
-            filetypes=[("TOML", "*.toml")]
-        )
-        log(f"Config: {state['config']}")
+    def on_progress(event) -> None:
+        if isinstance(event, dict):
+            total = event.get("image_total") or 0
+            index = event.get("image_index") or 0
+            if total:
+                progress["value"] = index / total
+            status_var.set(
+                f"{event.get('step', '')}: {index}/{total} "
+                f"({event.get('event', '')})"
+            )
 
-    def start(step: str) -> None:
-        if not state["config"]:
-            log("Select a config first.")
-            return
-        process, log_queue = run_step_in_worker(step, state["config"])
-        state["process"], state["queue"] = process, log_queue
-        log(f"Started {step} (pid {process.pid}).")
-        poll()
+    def on_preview(images: dict) -> None:
+        try:
+            import tkinter as tk  # noqa: F811
+
+            for _name, payload in images.items():
+                if isinstance(payload, (bytes, bytearray)):
+                    photo = tk.PhotoImage(data=payload)
+                    preview_label.configure(image=photo)
+                    preview_ref["image"] = photo
+                break
+        except Exception:
+            pass
 
     def poll() -> None:
-        if state["queue"] is None:
-            return
-        try:
-            while True:
-                kind, message = state["queue"].get_nowait()
-                log(f"[{kind}] {message}")
-        except queue.Empty:
-            pass
-        if state["process"] is not None and state["process"].is_alive():
-            root.after(250, poll)
+        for handle in list(session.workers):
+            handle.poll(on_log=log, on_progress=on_progress,
+                        on_preview=on_preview)
+            if handle.finished and not handle.alive():
+                status_var.set(
+                    f"{handle.step} "
+                    + ("FAILED" if handle.failed else "finished")
+                )
+                session.workers.remove(handle)
+        root.after(250, poll)
 
-    tk.Button(root, text="Choose config", command=choose_config).grid(
-        row=0, column=0
-    )
-    for i, step in enumerate(_STEPS, start=1):
+    def start(step: str) -> None:
+        session.state["all_images"] = bool(all_var.get())
+        try:
+            handle = session.start_step(step, config_var.get() or None)
+        except (KeyError, ValueError) as exc:
+            log(str(exc))
+            return
+        log(f"Started {step} (pid {handle.process.pid}).")
+
+    for i, step in enumerate(STEP_REGISTRY):
         tk.Button(
-            root, text=step, command=lambda s=step: start(s)
-        ).grid(row=0, column=i)
+            buttons, text=step, command=lambda s=step: start(s)
+        ).grid(row=i // 5, column=i % 5, sticky="ew")
+
+    poll()
+    root.protocol("WM_DELETE_WINDOW", lambda: (session.stop_all(), root.destroy()))
     root.mainloop()
 
 

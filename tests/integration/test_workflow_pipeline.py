@@ -221,6 +221,36 @@ def test_segmentation_step(workspace, context):
     assert len(jpgs) == 4
 
 
+def test_gui_worker_runs_mass_step(workspace):
+    """GUI worker process runs a real analysis step end-to-end; logs and
+    typed progress events arrive over the queues (reference GUI process
+    model, user_interface_gui.py:190-230)."""
+    import time as _time
+
+    from darsia_tpu.presets.workflows.user_interface_gui import GuiSession
+
+    work, results = workspace
+    session = GuiSession(cache_path=work / "gui_session.json")
+    session.set_config(work / "config.toml")
+    handle = session.start_step("analysis: mass", all_images=True)
+
+    logs, events = [], []
+    deadline = _time.time() + 420
+    while _time.time() < deadline:
+        handle.poll(on_log=logs.append, on_progress=events.append)
+        if handle.finished and not handle.alive():
+            break
+        _time.sleep(0.5)
+    handle.poll(on_log=logs.append, on_progress=events.append)
+    assert handle.finished, f"worker did not finish; logs: {logs[-5:]}"
+    assert not handle.failed, f"worker failed; logs: {logs[-5:]}"
+    kinds = {e.get("event") for e in events if isinstance(e, dict)}
+    assert {"step_start", "image_progress", "step_complete"} <= kinds
+    # Session cache recorded the run.
+    assert session.state["last_step"] == "analysis: mass"
+    assert session.state["history"]
+
+
 def test_fingers_step(workspace, context):
     """Fingers step produces the reference statistics.csv schema
     (ref analysis_fingers.py:212-226, 940-987) + identity-tracked counts."""
