@@ -44,8 +44,21 @@ def otsu_threshold(values: np.ndarray, bins: int = 256) -> float:
     mu0 = np.where(w0 > 0, m / np.maximum(w0, 1), 0.0)
     mu1 = np.where(w1 > 0, (m_total - m) / np.maximum(w1, 1), 0.0)
     between = w0 * w1 * (mu0 - mu1) ** 2
+    # Empty histogram gaps make the between-class variance plateau: every
+    # split inside the gap is equally optimal.  Take the midpoint of the
+    # contiguous plateau around the argmax (argmax alone returns the left
+    # gap edge, hugging the lower mode).
+    imax = int(np.argmax(between))
+    floor = (1.0 - 1e-12) * between[imax]
+    lo = imax
+    while lo > 0 and between[lo - 1] >= floor:
+        lo -= 1
+    hi = imax
+    while hi < len(between) - 1 and between[hi + 1] >= floor:
+        hi += 1
+    i = (lo + hi) // 2
     # The split after bin i lies at the bin's right edge.
-    return float(edges[int(np.argmax(between)) + 1])
+    return float(edges[i + 1])
 
 
 class HistogrammBasedThresholding:
@@ -92,7 +105,11 @@ class TwoPeakHistogrammAnalysis(HistogrammBasedThresholding):
             return otsu_threshold(values, bins)
         order = np.argsort(smooth[peaks])[::-1]
         p1, p2 = sorted([peaks[order[0]], peaks[order[1]]])
-        valley = p1 + int(np.argmin(smooth[p1 : p2 + 1]))
+        # Empty-gap histograms have a flat zero valley: take the plateau
+        # midpoint (argmin alone hugs the lower mode's edge).
+        segment = smooth[p1 : p2 + 1]
+        valley_plateau = np.flatnonzero(segment <= segment.min() + 1e-12)
+        valley = p1 + int(valley_plateau[len(valley_plateau) // 2])
         return float(centers[valley])
 
 
