@@ -223,8 +223,11 @@ class PriorPosteriorConcentrationAnalysis(ConcentrationAnalysis):
 
     def _convert_signal(self, signal, diff):
         prior = self.model(signal) if self.model is not None else signal
-        # Posterior: criterion-based re-evaluation using the original diff.
+        # Posterior: criterion-based re-evaluation of the prior's connected
+        # regions on the SMOOTH SIGNAL (+ original diff for transformed
+        # criteria) — reference concentrationanalysis.py:489-493
+        # ``posterior_model(signal, prior, diff)``.
         posterior = self.posterior_model(
-            np.asarray(prior), np.asarray(prior) > 0, np.asarray(diff)
+            np.asarray(signal), np.asarray(prior) > 0, np.asarray(diff)
         )
         return jnp.asarray(posterior)

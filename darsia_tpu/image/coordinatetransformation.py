@@ -40,10 +40,18 @@ class CoordinateTransformation:
         )
 
     def find_intersection(self) -> tuple:
-        """Voxel ROI (in the dst system) of the domain intersection."""
+        """Voxel ROI (in the dst system) of the domain intersection.
+
+        The corner points are mapped in the same point flavor the
+        transformation was fitted with (Voxel vs Coordinate) — applying a
+        voxel-fitted map to coordinates would be wrong (the reference's
+        own ``find_intersection`` is dead code behind ``assert False``,
+        ref coordinatetransformation.py:127).
+        """
+        from ..utils.point import Coordinate, CoordinateArray, make_voxel
+
         src = self.coordinatesystem_src
         dst = self.coordinatesystem_dst
-        # Transform source corners into the dst system.
         corners_voxels = np.array(
             [
                 [0, 0],
@@ -52,24 +60,44 @@ class CoordinateTransformation:
                 [0, src.shape[1]],
             ]
         )
-        coords = np.asarray(src.coordinate(corners_voxels))
-        mapped = self.correction.transformation(make_coordinate(coords))
-        mapped = np.atleast_2d(np.asarray(mapped))
+        transformation = self.correction.transformation
+        coordinate_fit = transformation.input_dtype in (
+            Coordinate,
+            CoordinateArray,
+        ) or transformation.input_array_dtype is CoordinateArray
 
-        xmin = max(dst.domain["xmin"], float(mapped[:, 0].min()))
-        xmax = min(dst.domain["xmax"], float(mapped[:, 0].max()))
-        ymin = max(dst.domain["ymin"], float(mapped[:, 1].min()))
-        ymax = min(dst.domain["ymax"], float(mapped[:, 1].max()))
-        if xmin >= xmax or ymin >= ymax:
+        if coordinate_fit:
+            coords = np.asarray(src.coordinate(corners_voxels))
+            mapped = np.atleast_2d(
+                np.asarray(self.correction.transformation(make_coordinate(coords)))
+            )
+            xmin = max(dst.domain["xmin"], float(mapped[:, 0].min()))
+            xmax = min(dst.domain["xmax"], float(mapped[:, 0].max()))
+            ymin = max(dst.domain["ymin"], float(mapped[:, 1].min()))
+            ymax = min(dst.domain["ymax"], float(mapped[:, 1].max()))
+            if xmin >= xmax or ymin >= ymax:
+                raise ValueError("Empty intersection of domains.")
+            voxels = np.asarray(
+                dst.voxel(np.array([[xmin, ymax], [xmax, ymin]]))
+            )
+            rows = sorted((int(voxels[0, 0]), int(voxels[1, 0])))
+            cols = sorted((int(voxels[0, 1]), int(voxels[1, 1])))
+        else:
+            mapped = np.atleast_2d(
+                np.asarray(
+                    transformation(make_voxel(corners_voxels.astype(float)))
+                )
+            )
+            rows = [int(np.ceil(mapped[:, 0].min())), int(np.floor(mapped[:, 0].max()))]
+            cols = [int(np.ceil(mapped[:, 1].min())), int(np.floor(mapped[:, 1].max()))]
+
+        roi = (
+            slice(max(rows[0], 0), min(rows[1], dst.shape[0])),
+            slice(max(cols[0], 0), min(cols[1], dst.shape[1])),
+        )
+        if roi[0].start >= roi[0].stop or roi[1].start >= roi[1].stop:
             raise ValueError("Empty intersection of domains.")
-
-        voxels = np.asarray(
-            dst.voxel(np.array([[xmin, ymax], [xmax, ymin]]))
-        )
-        return (
-            slice(max(voxels[0, 0], 0), min(voxels[1, 0], dst.shape[0])),
-            slice(max(voxels[0, 1], 0), min(voxels[1, 1], dst.shape[1])),
-        )
+        return roi
 
     def __call__(self, img: Image) -> Image:
         """Warp an image into the destination system, cropped to overlap."""
