@@ -142,9 +142,26 @@ def _f_lab_inv(t: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(t > delta, t**3, 3 * delta**2 * (t - 4.0 / 29.0))
 
 
+def _srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(
+        c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4
+    )
+
+
+def _linear_to_srgb(c: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(
+        c <= 0.0031308, 12.92 * c, 1.055 * c ** (1.0 / 2.4) - 0.055
+    )
+
+
 def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
-    """Linear-RGB -> CIELAB (L in [0,100]); cv2 float convention."""
+    """sRGB -> CIELAB (L in [0,100]); cv2 float convention.
+
+    Matches cv2.cvtColor(..., COLOR_RGB2LAB) on float inputs, which
+    linearizes the sRGB gamma before the XYZ transform (verified against
+    OpenCV in tests/unit/test_ops_kernels.py)."""
     x, _ = _as_float(rgb)
+    x = _srgb_to_linear(x)
     xyz = jnp.tensordot(x, _RGB2XYZ.T, axes=([-1], [0])) / _WHITE
     fx = _f_lab(xyz)
     L = 116.0 * fx[..., 1] - 16.0
@@ -154,7 +171,7 @@ def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
 
 
 def lab_to_rgb(lab: jnp.ndarray) -> jnp.ndarray:
-    """CIELAB -> linear-RGB in [0, 1]."""
+    """CIELAB -> sRGB in [0, 1] (inverse of :func:`rgb_to_lab`)."""
     L, a, b = lab[..., 0], lab[..., 1], lab[..., 2]
     fy = (L + 16.0) / 116.0
     fx = fy + a / 500.0
@@ -162,7 +179,7 @@ def lab_to_rgb(lab: jnp.ndarray) -> jnp.ndarray:
     xyz = jnp.stack([_f_lab_inv(fx), _f_lab_inv(fy), _f_lab_inv(fz)], axis=-1)
     xyz = xyz * _WHITE
     rgb = jnp.tensordot(xyz, _XYZ2RGB.T, axes=([-1], [0]))
-    return jnp.clip(rgb, 0.0, 1.0)
+    return jnp.clip(_linear_to_srgb(jnp.clip(rgb, 0.0, 1.0)), 0.0, 1.0)
 
 
 _CONVERSIONS = {

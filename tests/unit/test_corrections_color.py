@@ -73,10 +73,10 @@ def test_colorchecker_reference_swatches():
     checker = da.ColorCheckerAfter2014()
     swatches = checker.swatches_rgb
     assert swatches.shape == (4, 6, 3)
-    # White swatch (bottom-left of the 4x6 grid) is near white, dark swatch
-    # (bottom-right) near black.
-    assert swatches[3, 0].mean() > 0.85
-    assert swatches[3, 5].mean() < 0.15
+    # sRGB-encoded swatches match the published X-Rite values:
+    # white ~ (243,243,242)/255 ~ 0.95, black ~ (52,52,52)/255 ~ 0.20.
+    np.testing.assert_allclose(swatches[3, 0], [243 / 255] * 3, atol=0.035)
+    np.testing.assert_allclose(swatches[3, 5], [52 / 255] * 3, atol=0.02)
     # Brown "dark skin" first.
     assert swatches[0, 0, 0] > swatches[0, 0, 2]
 
