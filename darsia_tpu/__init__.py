@@ -263,7 +263,7 @@ from .restoration.binaryinpaint import (
 from .restoration.averaging import REV, VolumeAveraging, volume_average
 from .utils.linear_solvers import Solver, Jacobi, CG, MG
 from .utils import quadrature
-from .utils.derivatives import backward_diff, forward_diff, laplace
+from .utils.derivatives import backward_diff, forward_diff, fv_laplace, laplace
 from .utils.andersonacceleration import AndersonAcceleration
 from .utils import morphology
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..utils.derivatives import laplace
+from ..utils.derivatives import fv_laplace
 
 __all__ = [
     "neighbor_accumulation",
@@ -48,7 +48,10 @@ def neighbor_accumulation(x: jnp.ndarray, dim: int) -> jnp.ndarray:
 
 
 def _operator(x, mass_coeff, diffusion_coeff, dim, h):
-    return mass_coeff * x - laplace(
+    # Zero-flux FV Laplacian: matches the reference's production Jacobi
+    # fixed point and the adjoint of the TVD shrinkage gradient (see
+    # utils/derivatives.fv_laplace for the full rationale).
+    return mass_coeff * x - fv_laplace(
         x, dim=dim, h=h, diffusion_coeff=diffusion_coeff
     )
 
@@ -85,10 +88,11 @@ def jacobi_solve(
 ) -> jnp.ndarray:
     """Damped Jacobi sweeps in residual form (also the MG smoother).
 
-    Parity target: reference ``utils/linear_solvers/jacobi.py:14``.  Unlike
-    the reference's non-residual update (whose fixed point deviates from the
-    symmetrized Laplacian at boundaries), this iteration is consistent:
-    ``x <- x + omega * D^-1 (rhs - A x)`` with the exact stencil diagonal.
+    Parity target: reference ``utils/linear_solvers/jacobi.py:14`` — same
+    fixed point (the zero-flux FV operator; verified in
+    ``tests/fidelity/test_fidelity_pipeline.py``), written in residual form
+    ``x <- x + omega * D^-1 (rhs - A x)`` with the exact stencil diagonal
+    so it doubles as a convergent MG smoother.
     """
     diag = operator_diagonal(mass_coeff, diffusion_coeff, x0.shape, dim, h)
 

@@ -100,7 +100,12 @@ def build_media(path) -> dict:
         raise FileNotFoundError(
             f"No frames found in {video.source.folder}."
         )
-    out_folder = Path(video.folder or Path.cwd())
+    if video.folder is None:
+        raise ValueError(
+            "[video].folder is not set and no [data].results folder is "
+            "available to derive the default output location."
+        )
+    out_folder = Path(video.folder)
     out_folder.mkdir(parents=True, exist_ok=True)
     stem = video.output.filename or "video"
     written = {}

@@ -12,7 +12,7 @@ from typing import Optional, Union
 
 import jax.numpy as jnp
 
-__all__ = ["backward_diff", "forward_diff", "laplace"]
+__all__ = ["backward_diff", "forward_diff", "laplace", "fv_laplace"]
 
 
 def backward_diff(
@@ -42,7 +42,14 @@ def laplace(
     h: Optional[float] = None,
     diffusion_coeff: Union[jnp.ndarray, float] = 1,
 ) -> jnp.ndarray:
-    """Symmetrized heterogeneous Laplacian 0.5 (D- D D+ + D+ D D-)."""
+    """Symmetrized heterogeneous Laplacian 0.5 (D- D D+ + D+ D D-).
+
+    NOTE: exact parity port of reference ``utils/derivatives.py`` —
+    including its boundary closures, which disagree with the reference's
+    own production Jacobi smoother.  The solver stack uses
+    :func:`fv_laplace` instead (see there); this function remains for API
+    parity and for callers that need reference-``laplace`` semantics.
+    """
     axes = range(dim) if axis is None else [axis]
     out = jnp.zeros_like(img)
     for ax in axes:
@@ -55,3 +62,52 @@ def laplace(
             )
         )
     return out
+
+
+def fv_laplace(
+    img: jnp.ndarray,
+    axis: Optional[int] = None,
+    dim: int = 2,
+    h: Optional[float] = None,
+    diffusion_coeff: Union[jnp.ndarray, float] = 1,
+) -> jnp.ndarray:
+    """Finite-volume ``div(D grad)`` with zero-flux (Neumann) boundaries.
+
+    For constant D this is the edge-replicated 5-point (2*dim+1) Laplacian
+    — the operator the reference's production Jacobi smoother implements
+    (ref ``utils/linear_solvers/jacobi.py:25-72``: ghost-copy neighbor
+    accumulation, diag ``mass + 2*dim*D/h^2``) and the exact ``G^T G`` of
+    the one-sided difference gradient used by split-Bregman shrinkage, so
+    the TVD inner solve is variationally consistent with its splitting.
+    Heterogeneous D is sampled on interior faces by arithmetic averaging;
+    boundary faces carry zero flux.
+
+    (The reference's ``laplace`` [derivatives.py] uses different boundary
+    closures and disagrees with its own Jacobi; the solver stack here
+    standardizes on this operator — verified against the reference Jacobi
+    fixed point in ``tests/fidelity/test_fidelity_pipeline.py``.)
+    """
+    axes = range(dim) if axis is None else [axis]
+    out = jnp.zeros_like(img)
+    d_is_field = hasattr(diffusion_coeff, "ndim") and getattr(
+        diffusion_coeff, "ndim", 0
+    ) > 0
+    if d_is_field:
+        diffusion_coeff = jnp.broadcast_to(
+            jnp.asarray(diffusion_coeff, dtype=img.dtype), img.shape
+        )
+    for ax in axes:
+        grad = jnp.diff(img, axis=ax)  # interior faces along ax
+        if d_is_field:
+            n = img.shape[ax]
+            lo = jnp.take(diffusion_coeff, jnp.arange(0, n - 1), axis=ax)
+            hi = jnp.take(diffusion_coeff, jnp.arange(1, n), axis=ax)
+            flux = 0.5 * (lo + hi) * grad
+        else:
+            flux = diffusion_coeff * grad
+        zshape = list(flux.shape)
+        zshape[ax] = 1
+        zero = jnp.zeros(zshape, dtype=flux.dtype)
+        padded = jnp.concatenate([zero, flux, zero], axis=ax)
+        out = out + jnp.diff(padded, axis=ax)
+    return out if h is None else out / (h * h)

@@ -1,0 +1,200 @@
+"""Fidelity: Wasserstein/Beckmann OT core vs the reference CPU solvers.
+
+Runs the reference's Newton/Bregman solvers (scipy splu direct backend)
+and darsia_tpu's fused XLA solvers on identical problems and compares the
+converged distances.  This is the strongest correctness statement for the
+TPU-first Beckmann rework: same TPFA discretization, same L1 quadrature
+mode, agreeing distances (SURVEY §3.5, reference measure/beckmann_*.py).
+"""
+
+import numpy as np
+import pytest
+
+import darsia_tpu as dt
+
+# Shared solver setup: convergence by distance increment, direct linear
+# solver on the reference side (scipy splu; pyamg/PETSc are unavailable).
+REF_OPTIONS = {
+    "L": 1e9,
+    "aa_depth": 0,
+    "aa_restart": None,
+    "linear_solver": "direct",
+    "formulation": "full",
+    "num_iter": 400,
+    "tol_residual": 1e-6,
+    "tol_increment": 1e-6,
+    "tol_distance": 1e-6,
+    "return_info": False,
+    "verbose": False,
+}
+
+OUR_OPTIONS = {
+    "L": 1e9,
+    "num_iter": 400,
+    "tol_residual": 1e-6,
+    "tol_increment": 1e-6,
+    "tol_distance": 1e-6,
+    "return_info": False,
+    "verbose": False,
+    "dtype": "float64",
+}
+
+
+def _normalized_pair(module, src, dst, **meta):
+    src_img = module.Image(src.copy(), **meta)
+    dst_img = module.Image(dst.copy(), **meta)
+    geometry = module.Geometry(**src_img.shape_metadata())
+    src_img.img /= float(geometry.integrate(src_img))
+    dst_img.img /= float(geometry.integrate(dst_img))
+    return src_img, dst_img
+
+
+def _anchor_masses():
+    src = np.zeros((10, 10), dtype=float)
+    src[2:5, 2:5] = 1
+    dst = np.zeros((10, 10), dtype=float)
+    dst[1:3, 1:2] = 1
+    dst[4:7, 7:9] = 1
+    return src, dst
+
+
+def _smooth_masses(shape=(16, 20), seed=11):
+    """Random smooth strictly-positive masses (harder than the anchor)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, shape[0]), np.linspace(0, 1, shape[1]), indexing="ij"
+    )
+    src = 0.2 + np.exp(-12 * ((yy - 0.3) ** 2 + (xx - 0.35) ** 2))
+    dst = 0.2 + np.exp(-10 * ((yy - 0.7) ** 2 + (xx - 0.6) ** 2))
+    src += 0.05 * rng.random(shape)
+    dst += 0.05 * rng.random(shape)
+    return src, dst
+
+
+META_2D = {"width": 1.0, "height": 1.0, "space_dim": 2, "scalar": True}
+
+
+class TestWassersteinFidelity:
+    @pytest.mark.parametrize("method", ["newton", "bregman"])
+    def test_anchor_problem(self, ref, method):
+        src, dst = _anchor_masses()
+        r_src, r_dst = _normalized_pair(ref, src, dst, **META_2D)
+        o_src, o_dst = _normalized_pair(dt, src, dst, **META_2D)
+        # The 0.379543951823 anchor corresponds to the reference test's
+        # discretization modes (ref tests/unit/test_wasserstein.py:185-192).
+        ref_opts = dict(
+            REF_OPTIONS,
+            l1_mode=ref.L1Mode.CONSTANT_CELL_PROJECTION,
+            mobility_mode=ref.MobilityMode.FACE_BASED,
+        )
+        our_opts = dict(
+            OUR_OPTIONS,
+            l1_mode=dt.L1Mode.CONSTANT_CELL_PROJECTION,
+            mobility_mode=dt.MobilityMode.FACE_BASED,
+        )
+        if method == "bregman":
+            ref_opts["L"] = our_opts["L"] = 1.0
+        r_dist = ref.wasserstein_distance(
+            r_src, r_dst, method=method, options=ref_opts
+        )
+        o_dist = dt.wasserstein_distance(
+            o_src, o_dst, method=method, options=our_opts
+        )
+        # Anchor tolerance mirrors the reference's own test (rtol 1e-2,
+        # ref test_wasserstein.py; Bregman converges slowly); the tight
+        # claim is ours == reference.
+        assert np.isclose(float(r_dist), 0.379543951823, rtol=1e-2)
+        assert np.isclose(float(o_dist), float(r_dist), rtol=2e-3)
+
+    def test_smooth_random_problem(self, ref):
+        src, dst = _smooth_masses()
+        r_src, r_dst = _normalized_pair(ref, src, dst, **META_2D)
+        o_src, o_dst = _normalized_pair(dt, src, dst, **META_2D)
+        r_dist = ref.wasserstein_distance(
+            r_src, r_dst, method="newton", options=dict(REF_OPTIONS)
+        )
+        o_dist = dt.wasserstein_distance(
+            o_src, o_dst, method="newton", options=dict(OUR_OPTIONS)
+        )
+        assert np.isclose(float(o_dist), float(r_dist), rtol=5e-3)
+
+    def test_weighted_problem(self, ref):
+        """Heterogeneous cell weights: same harmonic face averaging."""
+        src, dst = _anchor_masses()
+        yy, xx = np.meshgrid(
+            np.linspace(0, 1, 10), np.linspace(0, 1, 10), indexing="ij"
+        )
+        weight = 1.0 + 3.0 * np.exp(-8 * ((yy - 0.5) ** 2 + (xx - 0.5) ** 2))
+        r_src, r_dst = _normalized_pair(ref, src, dst, **META_2D)
+        o_src, o_dst = _normalized_pair(dt, src, dst, **META_2D)
+        r_weight = ref.Image(weight.copy(), **META_2D)
+        o_weight = dt.Image(weight.copy(), **META_2D)
+        r_dist = ref.wasserstein_distance(
+            r_src, r_dst, method="newton", weight=r_weight,
+            options=dict(REF_OPTIONS),
+        )
+        o_dist = dt.wasserstein_distance(
+            o_src, o_dst, method="newton", weight=o_weight,
+            options=dict(OUR_OPTIONS),
+        )
+        assert np.isclose(float(o_dist), float(r_dist), rtol=5e-3)
+
+    def test_emd_matches(self, ref):
+        src, dst = _anchor_masses()
+        r_src, r_dst = _normalized_pair(ref, src, dst, **META_2D)
+        o_src, o_dst = _normalized_pair(dt, src, dst, **META_2D)
+        r_dist = ref.wasserstein_distance(r_src, r_dst, method="cv2.emd")
+        o_dist = dt.wasserstein_distance(o_src, o_dst, method="cv2.emd")
+        assert np.isclose(float(o_dist), float(r_dist), rtol=1e-6)
+
+    def test_info_dict_fields(self, ref):
+        """Info dicts expose the same downstream-consumed fields."""
+        src, dst = _anchor_masses()
+        r_src, r_dst = _normalized_pair(ref, src, dst, **META_2D)
+        o_src, o_dst = _normalized_pair(dt, src, dst, **META_2D)
+        ref_opts = dict(REF_OPTIONS, return_info=True)
+        our_opts = dict(OUR_OPTIONS, return_info=True)
+        r_dist, r_info = ref.wasserstein_distance(
+            r_src, r_dst, method="newton", options=ref_opts
+        )
+        o_dist, o_info = dt.wasserstein_distance(
+            o_src, o_dst, method="newton", options=our_opts
+        )
+        for key in ("src", "dst", "mass_diff", "flux", "pressure",
+                    "transport_density"):
+            assert key in r_info and key in o_info, key
+            assert np.asarray(o_info[key]).shape == np.asarray(r_info[key]).shape
+        # Transport density integrates to the distance in both builds.
+        for dist, info, module in (
+            (r_dist, r_info, ref),
+            (o_dist, o_info, dt),
+        ):
+            geometry = module.Geometry(**{
+                "space_dim": 2, "num_voxels": (10, 10),
+                "dimensions": [1.0, 1.0],
+            })
+            rho = np.asarray(info["transport_density"])
+            assert np.isclose(
+                float(np.sum(rho)) * geometry.voxel_volume, float(dist), rtol=1e-2
+            )
+
+
+class TestFluxFidelity:
+    def test_flux_fields_agree(self, ref):
+        """Cell-reconstructed flux fields agree (not only the scalars)."""
+        src, dst = _smooth_masses(seed=13)
+        r_src, r_dst = _normalized_pair(ref, src, dst, **META_2D)
+        o_src, o_dst = _normalized_pair(dt, src, dst, **META_2D)
+        r_dist, r_info = ref.wasserstein_distance(
+            r_src, r_dst, method="newton",
+            options=dict(REF_OPTIONS, return_info=True),
+        )
+        o_dist, o_info = dt.wasserstein_distance(
+            o_src, o_dst, method="newton",
+            options=dict(OUR_OPTIONS, return_info=True),
+        )
+        r_flux = np.asarray(r_info["flux"])
+        o_flux = np.asarray(o_info["flux"])
+        assert r_flux.shape == o_flux.shape
+        scale = np.abs(r_flux).max()
+        assert np.abs(o_flux - r_flux).max() <= 0.05 * scale

@@ -16,7 +16,7 @@ def _random_spd_problem(shape=(32, 32), seed=0):
 
     rhs = np.asarray(
         mass * jnp.asarray(x_true)
-        - da.laplace(jnp.asarray(x_true), dim=2, diffusion_coeff=diff)
+        - da.fv_laplace(jnp.asarray(x_true), dim=2, diffusion_coeff=diff)
     )
     return x_true, rhs, mass, diff
 
@@ -51,7 +51,7 @@ def test_jacobi_reduces_residual():
         rhs
         - np.asarray(
             mass * jnp.asarray(x)
-            - da.laplace(jnp.asarray(x), dim=2, diffusion_coeff=diff)
+            - da.fv_laplace(jnp.asarray(x), dim=2, diffusion_coeff=diff)
         )
     )
     assert res < 0.05 * res0
@@ -75,7 +75,7 @@ def test_mg_heterogeneous_coefficients():
 
     rhs = np.asarray(
         jnp.asarray(x_true)
-        - da.laplace(jnp.asarray(x_true), dim=2, diffusion_coeff=jnp.asarray(diff))
+        - da.fv_laplace(jnp.asarray(x_true), dim=2, diffusion_coeff=jnp.asarray(diff))
     )
     solver = da.MG(depth=2, maxiter=100, tol=1e-12, mass_coeff=1.0, diffusion_coeff=diff)
     x = np.asarray(solver(np.zeros_like(x_true), rhs))
