@@ -101,6 +101,8 @@ def _worker(
     log_queue,
     progress_queue,
     preview_queue,
+    jax_platform: Optional[str] = None,
+    jax_cache_dir: Optional[str] = None,
 ) -> None:
     """Worker entry point: run one step, forward logs/progress/previews.
 
@@ -108,6 +110,38 @@ def _worker(
     (``user_interface_gui.py:722-870``); any exception is reported over
     the log queue with the error sentinel instead of killing the GUI.
     """
+    try:
+        # Debuggability: `kill -USR1 <worker-pid>` dumps the worker's
+        # current Python traceback to stderr (hung-step diagnosis).
+        import faulthandler
+        import signal as _signal
+
+        faulthandler.register(_signal.SIGUSR1)
+    except Exception:
+        pass
+    if jax_platform is not None:
+        # Spawned workers re-initialize JAX from scratch; inherit the
+        # parent's backend choice (site config may pin a different
+        # platform via env, so jax.config is the only reliable channel —
+        # it must be updated before any device is touched).
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", jax_platform)
+        except Exception:
+            pass
+    if jax_cache_dir is not None:
+        # Share the persistent compilation cache so workers skip XLA
+        # recompiles of programs the session (or a previous worker) has
+        # already built — without it a fresh worker recompiles the whole
+        # correction/analysis pipeline from scratch on every step.
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", jax_cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass
     root_logger = logging.getLogger()
     root_logger.addHandler(logging.handlers.QueueHandler(log_queue))
     root_logger.setLevel(logging.INFO)
@@ -313,11 +347,28 @@ class GuiSession:
         log_queue: mp.Queue = ctx.Queue()
         progress_queue: mp.Queue = ctx.Queue()
         preview_queue: mp.Queue = ctx.Queue()
+        # Forward the parent's JAX backend so workers compute on the same
+        # platform as the session (a spawned child would otherwise fall
+        # back to whatever the site config pins).
+        jax_platform = None
+        jax_cache_dir = "/tmp/jax_cache"
+        if "jax" in sys.modules:
+            try:
+                jax_platform = sys.modules["jax"].default_backend()
+            except Exception:
+                jax_platform = None
+            try:
+                parent_cache = sys.modules["jax"].config.jax_compilation_cache_dir
+                if parent_cache:
+                    jax_cache_dir = parent_cache
+            except Exception:
+                pass
         process = ctx.Process(
             target=_worker,
             args=(
                 module_name, function_name, kind, config, all_flag,
-                log_queue, progress_queue, preview_queue,
+                log_queue, progress_queue, preview_queue, jax_platform,
+                jax_cache_dir,
             ),
             daemon=True,
         )
