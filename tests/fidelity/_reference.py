@@ -122,6 +122,21 @@ def _install_stubs() -> list:
         skimage.__dict__["img_as_float32"] = lambda image: _np.asarray(
             _img_as_float(image), dtype=_np.float32
         )
+
+        def _img_as_ubyte(image):
+            arr = _np.asarray(image)
+            if arr.dtype == _np.uint8:
+                return arr
+            if _np.issubdtype(arr.dtype, _np.floating):
+                # Documented skimage semantics for [0, 1] floats.
+                return _np.round(_np.clip(arr, 0.0, 1.0) * 255.0).astype(
+                    _np.uint8
+                )
+            raise ReferenceStubError(
+                "img_as_ubyte fallback only supports uint8/float inputs"
+            )
+
+        skimage.__dict__["img_as_ubyte"] = _img_as_ubyte
     # Functional fallbacks (semantics-preserving accelerators only).
     if "numba" not in sys.modules:
         try:
