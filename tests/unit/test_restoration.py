@@ -190,3 +190,79 @@ def test_anderson_acceleration():
         g = 0.5 * x + 1
         x = aa(g, g - x, i)
     assert np.allclose(x, 2.0, atol=1e-8)
+
+
+# ---- fv_laplace operator contract (the solver-stack operator) ------------
+
+
+def _mirror_neumann_lap(x):
+    xp = np.pad(x, 1, mode="edge")
+    return xp[:-2, 1:-1] + xp[2:, 1:-1] + xp[1:-1, :-2] + xp[1:-1, 2:] - 4 * x
+
+
+def test_fv_laplace_constant_equals_mirror_neumann():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((9, 13))
+    out = np.asarray(da.fv_laplace(jnp.asarray(x), dim=2))
+    assert np.allclose(out, _mirror_neumann_lap(x), atol=1e-12)
+
+
+def test_fv_laplace_3d_zero_flux():
+    # Constants are in the nullspace (pure Neumann), any dim.
+    import jax.numpy as jnp
+
+    x = jnp.full((4, 5, 6), 3.7)
+    out = np.asarray(da.fv_laplace(x, dim=3))
+    assert np.allclose(out, 0.0, atol=1e-12)
+    # And the operator conserves mass: sum(div flux) = 0 for any field.
+    rng = np.random.default_rng(12)
+    y = jnp.asarray(rng.standard_normal((4, 5, 6)))
+    assert abs(float(jnp.sum(da.fv_laplace(y, dim=3)))) < 1e-4  # f32
+
+
+def test_fv_laplace_heterogeneous_symmetric():
+    """Face-averaged heterogeneous div(D grad) is symmetric: <Ax,y>=<x,Ay>."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    D = jnp.asarray(0.1 + rng.random((8, 10)))
+    x = jnp.asarray(rng.standard_normal((8, 10)))
+    y = jnp.asarray(rng.standard_normal((8, 10)))
+    Ax = da.fv_laplace(x, dim=2, diffusion_coeff=D)
+    Ay = da.fv_laplace(y, dim=2, diffusion_coeff=D)
+    assert np.isclose(float(jnp.vdot(Ax, y)), float(jnp.vdot(x, Ay)), rtol=1e-5)
+
+
+def test_fv_laplace_is_adjoint_of_difference_gradient():
+    """fv_laplace == -G^T G for the one-sided difference gradient used by
+    split-Bregman shrinkage: the inner solve is variationally consistent."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.standard_normal((7, 9)))
+    y = jnp.asarray(rng.standard_normal((7, 9)))
+    # <G x, G y> must equal <-fv_laplace(x), y>.
+    gxgy = 0.0
+    for ax in range(2):
+        gx = jnp.diff(x, axis=ax)
+        gy = jnp.diff(y, axis=ax)
+        gxgy += float(jnp.vdot(gx, gy))
+    lhs = float(jnp.vdot(-da.fv_laplace(x, dim=2), y))
+    assert np.isclose(gxgy, lhs, rtol=1e-5)
+
+
+def test_solver_family_cross_consistency():
+    """Jacobi, CG and MG converge to the same solution of the same system."""
+    x_true, rhs, mass, diff = _random_spd_problem(shape=(33, 31), seed=5)
+    sols = []
+    for solver in (
+        da.Jacobi(maxiter=4000, mass_coeff=mass, diffusion_coeff=diff),
+        da.CG(maxiter=400, tol=1e-12, mass_coeff=mass, diffusion_coeff=diff),
+        da.MG(maxiter=60, tol=1e-12, mass_coeff=mass, diffusion_coeff=diff),
+    ):
+        sols.append(np.asarray(solver(np.zeros_like(x_true), rhs)))
+    assert np.allclose(sols[0], sols[1], atol=5e-4)
+    assert np.allclose(sols[1], sols[2], atol=5e-4)
+    assert np.allclose(sols[1], x_true, atol=5e-4)
