@@ -146,9 +146,20 @@ class ColorPathInterpolation(ColorPathFunction):
             self.color_path.equidistant_distances, dtype=jnp.float32
         )
         vals = jnp.asarray(self.values, dtype=jnp.float32)
-        return np.asarray(
-            jnp.interp(jnp.asarray(parametrization, jnp.float32), nodes, vals)
+        p = jnp.asarray(parametrization, jnp.float32)
+        out = jnp.interp(p, nodes, vals)
+        # The reference extrapolates linearly past the end nodes with the
+        # end-segment slopes (ref color_path_interpolation.py:237-259:
+        # the first/last segment masks are one-sided), which jnp.interp
+        # clamps — restore the extrapolation so over-/under-saturated
+        # colors map beyond the calibrated value range.
+        lo_slope = (vals[1] - vals[0]) / (nodes[1] - nodes[0])
+        hi_slope = (vals[-1] - vals[-2]) / (nodes[-1] - nodes[-2])
+        out = jnp.where(p < nodes[0], vals[0] + (p - nodes[0]) * lo_slope, out)
+        out = jnp.where(
+            p > nodes[-1], vals[-1] + (p - nodes[-1]) * hi_slope, out
         )
+        return np.asarray(out)
 
     def __call__(self, image):
         if isinstance(image, Image):
