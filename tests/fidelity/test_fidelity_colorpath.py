@@ -138,3 +138,68 @@ class TestLabelColorPathMapFidelity:
         assert set(getattr(r_map, "color_paths", paths_r)) == set(
             getattr(o_map, "color_paths", paths_o)
         )
+
+
+class TestLabelColorPathMapRegressionFidelity:
+    """End-to-end heterogeneous calibration engine (reference
+    signals/color/color_path_regression.py, its largest module): synthetic
+    two-label plume series -> per-label color spectra -> regressed color
+    paths. Both builds must find the same (resolution-quantized) paths."""
+
+    N = 40
+    BASE_COLORS = {0: np.array([0.2, 0.3, 0.5]), 1: np.array([0.5, 0.2, 0.2])}
+    DIRS = {0: np.array([0.5, 0.3, -0.2]), 1: np.array([0.2, 0.5, 0.3])}
+
+    def _build_map(self, mod, is_ref):
+        n = self.N
+        labels = np.zeros((n, n), dtype=int)
+        labels[:, n // 2 :] = 1
+        meta = dict(width=1.0, height=1.0)
+        labels_img = mod.Image(labels.copy(), scalar=True, **meta)
+        mask_img = mod.Image(np.ones((n, n), dtype=bool), scalar=True, **meta)
+        baseline_arr = np.zeros((n, n, 3))
+        for lab, c in self.BASE_COLORS.items():
+            baseline_arr[labels == lab] = c
+        rng = np.random.default_rng(7)
+        images = []
+        for t in (0.3, 0.6, 1.0):
+            arr = baseline_arr.copy()
+            yy = np.linspace(0, 1, n)[:, None] * np.ones((1, n))
+            conc = np.clip(t - yy, 0, 1)
+            for lab in (0, 1):
+                m = labels == lab
+                arr[m] += conc[m][:, None] * self.DIRS[lab][None]
+            arr += 0.01 * rng.standard_normal(arr.shape)
+            images.append(mod.Image(np.clip(arr, 0, 1), **meta))
+        baseline = mod.Image(baseline_arr.copy(), **meta)
+        if is_ref:
+            cr = mod.ColorRange(
+                min_color=-np.ones(3),
+                max_color=np.ones(3),
+                color_mode=mod.ColorMode.RELATIVE,
+            )
+        else:
+            cr = mod.ColorRange(min_color=-np.ones(3), max_color=np.ones(3))
+        reg = mod.LabelColorPathMapRegression(
+            labels_img, cr, resolution=9, mask=mask_img
+        )
+        spectra = reg.get_color_spectrum(images, baseline=baseline)
+        return reg.find_color_path(spectra, num_segments=2)
+
+    def _paths(self, pathmap):
+        return pathmap.color_paths if hasattr(pathmap, "color_paths") else pathmap
+
+    def test_regressed_paths_match(self, ref):
+        r_paths = self._paths(self._build_map(ref, True))
+        o_paths = self._paths(self._build_map(dt, False))
+        assert set(r_paths) == set(o_paths) == {0, 1}
+        for lab in (0, 1):
+            r_rel = np.asarray(r_paths[lab].relative_colors)
+            o_rel = np.asarray(o_paths[lab].relative_colors)
+            assert r_rel.shape == o_rel.shape
+            assert np.allclose(r_rel, o_rel, atol=1e-10), (lab, r_rel, o_rel)
+            # And the regressed direction tracks the synthetic color
+            # direction (within grid quantization, spacing 0.25).
+            end = o_rel[-1] / max(np.linalg.norm(o_rel[-1]), 1e-12)
+            true_dir = self.DIRS[lab] / np.linalg.norm(self.DIRS[lab])
+            assert float(end @ true_dir) > 0.95
