@@ -145,3 +145,53 @@ def test_sharded_tpfa_cg_matches_single_device():
     assert np.abs(a - b).max() < 1e-4 * max(np.abs(a).max(), 1e-30)
     residual = np.array(tpfa_apply(jnp.asarray(b), (tr, tc), 2)) - rhs_np
     assert np.abs(residual).max() < 1e-3
+
+
+@pytest.mark.parametrize("mesh_size", [4, 8])
+def test_sharded_wasserstein_batch_matches_per_item(mesh_size):
+    """Batch-sharded W1 == per-item Newton solves (data parallelism over
+    the mesh; production analogue: run-comparison Wasserstein sweeps)."""
+    import darsia_tpu as da
+    from darsia_tpu.parallel import sharded_wasserstein_batch
+    from jax.sharding import Mesh
+
+    n = 10
+
+    def pair(seed):
+        rng = np.random.default_rng(seed)
+        src = np.zeros((n, n))
+        src[2:5, 2:5] = 1
+        dst = np.zeros((n, n))
+        dst[1:3, 1:2] = 1
+        dst[4:7, 7:9] = 1
+        src = src + 0.02 * rng.random((n, n))
+        dst = dst + 0.02 * rng.random((n, n))
+        src /= src.sum() * (0.1 * 0.1)
+        dst /= dst.sum() * (0.1 * 0.1)
+        return src, dst
+
+    B = mesh_size
+    srcs = np.stack([pair(i)[0] for i in range(B)]).astype(np.float32)
+    dsts = np.stack([pair(i)[1] for i in range(B)]).astype(np.float32)
+    options = {"num_iter": 200, "tol_distance": 1e-5}
+
+    mesh = Mesh(np.array(jax.devices()[:mesh_size]), ("batch",))
+    solve = sharded_wasserstein_batch(
+        mesh, (n, n), voxel_size=0.1, options=options
+    )
+    dist, iters, status = solve(srcs, dsts)
+    assert dist.shape == (B,)
+    assert (np.asarray(status) == 1).all()  # all converged
+
+    expected = []
+    for i in range(B):
+        src_img = da.Image(srcs[i].astype(float), width=1, height=1, scalar=True)
+        dst_img = da.Image(dsts[i].astype(float), width=1, height=1, scalar=True)
+        expected.append(
+            float(
+                da.wasserstein_distance(
+                    src_img, dst_img, method="newton", options=options
+                )
+            )
+        )
+    assert np.abs(np.asarray(dist) - np.asarray(expected)).max() < 2e-3
