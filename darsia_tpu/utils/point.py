@@ -185,10 +185,11 @@ def _convert_point(point, cls, coordinatesystem=None):
         if cls in (VoxelCenter, VoxelCenterArray):
             return make_voxel_center(np.asarray(point))
         if cls in (Coordinate, CoordinateArray):
+            # Voxel -> its corner coordinate (reference point.py:299-301
+            # calls coordinatesystem.coordinate on the raw voxel index);
+            # center semantics are available via VoxelCenter.
             assert coordinatesystem is not None
-            return coordinatesystem.coordinate(
-                make_voxel_center(np.asarray(point))
-            )
+            return coordinatesystem.coordinate(point)
     if isinstance(point, VoxelCenter):
         if cls in (Voxel, VoxelArray):
             return make_voxel(np.floor(np.asarray(point)))
@@ -230,3 +231,16 @@ def _as_point(point):
     if np.issubdtype(arr.dtype, np.integer):
         return make_voxel(arr)
     return make_coordinate(arr)
+
+
+# Method-style conversion API (reference utils/point.py:374-376 attaches
+# these as BasePoint methods): ``voxels.to_coordinate(cs)`` etc.
+BasePoint.to_coordinate = lambda self, coordinatesystem=None: to_coordinate(
+    self, coordinatesystem
+)
+BasePoint.to_voxel = lambda self, coordinatesystem=None: to_voxel(
+    self, coordinatesystem
+)
+BasePoint.to_voxel_center = (
+    lambda self, coordinatesystem=None: to_voxel_center(self, coordinatesystem)
+)

@@ -108,12 +108,18 @@ def _install_stubs() -> list:
         import numpy as _np
 
         def _img_as_float(image):
+            # Documented skimage semantics: floats pass through; unsigned
+            # integers scale by their type maximum into [0, 1].
             arr = _np.asarray(image)
-            if not _np.issubdtype(arr.dtype, _np.floating):
-                raise ReferenceStubError(
-                    "img_as_float fallback only supports float inputs"
-                )
-            return arr
+            if _np.issubdtype(arr.dtype, _np.floating):
+                return arr
+            if arr.dtype == _np.uint8:
+                return arr / 255.0
+            if arr.dtype == _np.uint16:
+                return arr / 65535.0
+            raise ReferenceStubError(
+                f"img_as_float fallback does not support {arr.dtype}"
+            )
 
         skimage.__dict__["img_as_float"] = _img_as_float
         skimage.__dict__["img_as_float64"] = lambda image: _np.asarray(
@@ -137,6 +143,22 @@ def _install_stubs() -> list:
             )
 
         skimage.__dict__["img_as_ubyte"] = _img_as_ubyte
+
+        def _img_as_uint(image):
+            arr = _np.asarray(image)
+            if arr.dtype == _np.uint16:
+                return arr
+            if _np.issubdtype(arr.dtype, _np.floating):
+                return _np.round(_np.clip(arr, 0.0, 1.0) * 65535.0).astype(
+                    _np.uint16
+                )
+            if arr.dtype == _np.uint8:
+                return (arr.astype(_np.uint16) * 257)  # 255*257 == 65535
+            raise ReferenceStubError(
+                f"img_as_uint fallback does not support {arr.dtype}"
+            )
+
+        skimage.__dict__["img_as_uint"] = _img_as_uint
     # Functional fallbacks (semantics-preserving accelerators only).
     if "numba" not in sys.modules:
         try:
