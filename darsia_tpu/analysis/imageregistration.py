@@ -65,10 +65,20 @@ class DiffeomorphicImageRegistration:
         return self.translation_analysis.translate_image(img, reverse=reverse)
 
     def evaluate(self, points, units: str = "metric") -> np.ndarray:
-        """Displacement at given points ((x, y) pixel coordinates)."""
-        disp = np.asarray(
-            self.translation_analysis.translation(np.atleast_2d(points))
-        ).T
+        """Displacement at given points.
+
+        ``units="metric"``: points are Cartesian ``(x, y)`` coordinates and
+        the returned displacements are metric; ``units="pixel"``: points
+        and displacements are ``(x, y)`` pixel values.  (The fitted
+        interpolator lives in pixel space — metric probes are converted
+        before sampling; reference ``imageregistration.py:652``.)
+        """
+        pts = np.atleast_2d(np.asarray(points, dtype=float))
+        if units == "metric":
+            cs = self.translation_analysis.base.coordinatesystem
+            voxels = np.atleast_2d(np.asarray(cs.voxel(pts), dtype=float))
+            pts = np.stack([voxels[:, 1], voxels[:, 0]], axis=1)
+        disp = np.asarray(self.translation_analysis.translation(pts)).T
         if units == "metric":
             vs = self.translation_analysis.base.voxel_size
             disp = np.stack([disp[:, 0] * vs[1], -disp[:, 1] * vs[0]], axis=1)
