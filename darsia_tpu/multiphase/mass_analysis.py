@@ -40,18 +40,33 @@ _M_CO2 = 0.04401  # kg/mol
 _R = 8.314462  # J/(mol K)
 
 
+_B_CO2 = -128.7e-6  # m^3/mol: second virial coefficient near 20-23 C
+
+
 def co2_gas_density(pressure_bar, temperature_celsius):
-    """Gaseous CO2 density [kg/m^3] (ideal gas; <0.5% vs NIST < 1.5 bar)."""
+    """Gaseous CO2 density [kg/m^3] via the truncated virial EOS.
+
+    rho = p M / (Z R T) with Z = 1 + B p / (R T).  B = -128.7 cm^3/mol
+    reproduces the NIST isotherms the reference tabulates
+    (ref multiphase/mass_analysis.py:134-280, 0.9-1.5 bar at 20/23 C)
+    to <0.05% — the ideal-gas law alone is ~0.5% light.
+    """
     p = np.asarray(pressure_bar, dtype=float) * 1e5
     T = np.asarray(temperature_celsius, dtype=float) + 273.15
-    return p * _M_CO2 / (_R * T)
+    Z = 1.0 + _B_CO2 * p / (_R * T)
+    return p * _M_CO2 / (Z * _R * T)
 
 
 def co2_solubility(pressure_bar, temperature_celsius):
-    """CO2 solubility in water [kg/m^3] (Henry, linear in T around 20 C)."""
+    """CO2 solubility in water [kg/m^3] (Henry's law, linear in T).
+
+    Calibrated on the reference's tabulated isotherms
+    (ref multiphase/mass_analysis.py:202-285): 1.70 kg/m^3/bar at 20 C,
+    1.45 kg/m^3/bar at 23 C.
+    """
     p = np.asarray(pressure_bar, dtype=float)
     T = np.asarray(temperature_celsius, dtype=float)
-    return p * (1.70 - 0.05 * (T - 20.0))
+    return p * (1.70 - (0.25 / 3.0) * (T - 20.0))
 
 
 def water_density(temperature_celsius):

@@ -159,6 +159,34 @@ def _install_stubs() -> list:
             )
 
         skimage.__dict__["img_as_uint"] = _img_as_uint
+    skimage_filters = sys.modules.get("skimage.filters")
+    if isinstance(skimage_filters, _StubModule):
+        import numpy as _np
+
+        def _threshold_otsu(image=None, nbins=256, *, hist=None):
+            # Standard Otsu (maximal inter-class variance), matching the
+            # documented skimage semantics for both call styles.
+            if hist is not None:
+                if isinstance(hist, tuple):
+                    counts, centers = hist
+                else:
+                    counts = _np.asarray(hist)
+                    centers = _np.arange(counts.size, dtype=float)
+            else:
+                counts, edges = _np.histogram(_np.ravel(image), bins=nbins)
+                centers = 0.5 * (edges[:-1] + edges[1:])
+            counts = _np.asarray(counts, dtype=float)
+            centers = _np.asarray(centers, dtype=float)
+            w1 = _np.cumsum(counts)
+            w2 = _np.cumsum(counts[::-1])[::-1]
+            m1 = _np.cumsum(counts * centers) / _np.maximum(w1, 1e-30)
+            m2 = (
+                _np.cumsum((counts * centers)[::-1]) / _np.maximum(w2[::-1], 1e-30)
+            )[::-1]
+            var12 = w1[:-1] * w2[1:] * (m1[:-1] - m2[1:]) ** 2
+            return centers[:-1][_np.argmax(var12)]
+
+        skimage_filters.__dict__["threshold_otsu"] = _threshold_otsu
     # Functional fallbacks (semantics-preserving accelerators only).
     if "numba" not in sys.modules:
         try:
