@@ -198,3 +198,55 @@ class TestFluxFidelity:
         assert r_flux.shape == o_flux.shape
         scale = np.abs(r_flux).max()
         assert np.abs(o_flux - r_flux).max() <= 0.05 * scale
+
+
+class TestL1ModeFidelity:
+    @pytest.mark.parametrize(
+        "l1_mode",
+        ["raviart_thomas", "constant_subcell_projection",
+         "constant_cell_projection"],
+    )
+    def test_all_l1_quadrature_modes(self, ref, l1_mode):
+        """Every L1 dissipation quadrature mode matches the reference
+        (ref beckmann_problem.py:221-274)."""
+        src, dst = _anchor_masses()
+        r_src, r_dst = _normalized_pair(ref, src, dst, **META_2D)
+        o_src, o_dst = _normalized_pair(dt, src, dst, **META_2D)
+        r_dist = ref.wasserstein_distance(
+            r_src, r_dst, method="newton",
+            options=dict(REF_OPTIONS, l1_mode=ref.L1Mode(l1_mode)),
+        )
+        o_dist = dt.wasserstein_distance(
+            o_src, o_dst, method="newton",
+            options=dict(OUR_OPTIONS, l1_mode=dt.L1Mode(l1_mode)),
+        )
+        # raviart_thomas: the reference's multi-dimensional "max" rule
+        # carries mis-normalized tensor weights (one axis' 1D weights
+        # divided by the point count instead of the tensor product —
+        # ref utils/quadrature.py gauss_reference_cell; its per-cell
+        # transport densities deviate up to 13% on random fluxes). Our
+        # rule is the exact product rule, so converged distances agree
+        # only to ~1%; the projection modes share exact quadratures and
+        # match tightly.
+        rtol = 1e-2 if l1_mode == "raviart_thomas" else 3e-3
+        assert np.isclose(float(o_dist), float(r_dist), rtol=rtol), l1_mode
+
+    def test_rt_dissipation_quadrature_exactness(self, ref):
+        """Our RT 'max' rule is the exact Gauss tensor product (the
+        upstream weights are not: they fail bilinear exactness)."""
+        qp, qw = dt.quadrature.gauss_reference_cell(2, "max")
+        qp = np.atleast_2d(np.asarray(qp))
+        qw = np.asarray(qw)
+        # Exactly integrate f(x, y) = x^2 over [0, 1]^2 -> 1/3 (bilinear
+        # x*y is exact for both by symmetry; pure powers separate them).
+        val = float(np.sum(qw * qp[:, 0] ** 2))
+        assert np.isclose(val, 1.0 / 3.0, atol=1e-12)
+        r_grid = ref.Grid((4, 4), 0.25)
+        r_problem = ref.BeckmannProblem(
+            r_grid, None, {"l1_mode": ref.L1Mode("raviart_thomas")}
+        )
+        r_qp = np.atleast_2d(np.asarray(r_problem.quad_pts))
+        r_qw = np.asarray(r_problem.quad_weights)
+        r_val = float(np.sum(r_qw * r_qp[:, 0] ** 2))
+        # Upstream misses polynomial exactness (documented defect).
+        assert not np.isclose(r_val, 1.0 / 3.0, atol=1e-6)
