@@ -103,3 +103,49 @@ def test_poll_drains_queues_and_flags_errors():
         {"event": "image_progress", "image_index": 1, "image_total": 4}
     ]
     assert previews == [{"mass": b"png-bytes"}]
+
+
+def test_worker_error_surfaces_over_queue(tmp_path):
+    """A failing step reports via the error sentinel instead of killing the
+    session (reference GUI process model: errors cross the queue)."""
+    import time as _time
+
+    from darsia_tpu.presets.workflows.user_interface_gui import GuiSession
+
+    session = GuiSession(cache_path=tmp_path / "cache.json")
+    # Config path that exists but is not a valid workflow config.
+    bad_config = tmp_path / "bad.toml"
+    bad_config.write_text("[data]\nfolder = '/nonexistent-folder-xyz'\n")
+    session.set_config(bad_config)
+    handle = session.start_step("analysis: mass", all_images=True)
+    logs, events = [], []
+    deadline = _time.time() + 180
+    while _time.time() < deadline:
+        handle.poll(on_log=logs.append, on_progress=events.append)
+        if handle.finished and not handle.alive():
+            break
+        _time.sleep(0.2)
+    handle.poll(on_log=logs.append, on_progress=events.append)
+    assert handle.finished
+    assert handle.failed
+    assert any("failed" in str(line) for line in logs)
+
+
+def test_worker_stop_terminates(tmp_path):
+    """stop() tears down a running worker."""
+    import time as _time
+
+    from darsia_tpu.presets.workflows.user_interface_gui import GuiSession
+
+    session = GuiSession(cache_path=tmp_path / "cache.json")
+    bad_config = tmp_path / "slow.toml"
+    bad_config.write_text("[data]\nfolder = '/nonexistent-abc'\n")
+    session.set_config(bad_config)
+    handle = session.start_step("analysis: mass", all_images=True)
+    # Stop immediately; the process must terminate.
+    handle.stop()
+    deadline = _time.time() + 30
+    while _time.time() < deadline and handle.alive():
+        _time.sleep(0.2)
+    assert not handle.alive()
+    session.stop_all()
