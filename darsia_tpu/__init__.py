@@ -151,6 +151,7 @@ from .corrections.shape.piecewiseperspective import PiecewisePerspectiveTransfor
 from .corrections.shape.deformation import DeformationCorrection
 from .analysis.contouranalysis import contour_length, ContourAnalysis
 from .analysis.contour_smoother import (
+    Contour,
     ContourSmoother,
     ContourSmootherSequence,
     PolyDPSmoother,

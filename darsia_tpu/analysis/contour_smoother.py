@@ -12,6 +12,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 __all__ = [
+    "Contour",
     "ContourSmoother",
     "ContourSmootherSequence",
     "PolyDPSmoother",
@@ -19,6 +20,10 @@ __all__ = [
     "GaussianSmoother",
     "SavitzkyGolaySmoother",
 ]
+
+
+# Type alias for OpenCV-style contours (parity: ref contour_smoother.py:10).
+Contour = np.ndarray
 
 
 def _as_xy(contour) -> np.ndarray:
@@ -65,20 +70,34 @@ class ContourSmootherSequence(ContourSmoother):
 
 
 class PolyDPSmoother(ContourSmoother):
-    """Douglas-Peucker polygon simplification (cv2.approxPolyDP)."""
+    """Douglas-Peucker polygon simplification (cv2.approxPolyDP).
 
-    def __init__(self, epsilon: float = 2.0, relative: bool = False) -> None:
-        self.epsilon = epsilon
-        self.relative = relative
+    Parity: reference ``contour_smoother.py:125-150`` — ``epsilon`` is a
+    ratio of the arc length by default (``use_ratio=True``) or absolute
+    pixels otherwise.
+    """
+
+    def __init__(
+        self,
+        epsilon: float = 0.01,
+        closed: bool = True,
+        use_ratio: bool = True,
+        relative: Optional[bool] = None,
+    ) -> None:
+        self.epsilon = float(epsilon)
+        self.closed = bool(closed)
+        self.use_ratio = bool(use_ratio if relative is None else relative)
 
     def __call__(self, contour):
         import cv2
 
         contour = np.asarray(contour, dtype=np.int32).reshape(-1, 1, 2)
         eps = self.epsilon
-        if self.relative:
-            eps = self.epsilon * cv2.arcLength(contour, True)
-        return cv2.approxPolyDP(contour, eps, closed=True)
+        if self.use_ratio:
+            eps = self.epsilon * cv2.arcLength(
+                contour.astype(np.float32), self.closed
+            )
+        return cv2.approxPolyDP(contour, eps, closed=self.closed)
 
     def _smooth_xy(self, xy: np.ndarray) -> np.ndarray:  # pragma: no cover
         return _as_xy(self(_as_contour(xy)))

@@ -84,8 +84,15 @@ def contour_length(
 class ContourAnalysis:
     """Analysis of interface contours: length, peaks (fingers), valleys."""
 
-    def __init__(self, verbosity: bool = False) -> None:
+    def __init__(
+        self,
+        verbosity: bool = False,
+        contour_smoother=None,
+        reduce_to_main_contour: bool = False,
+    ) -> None:
         self.verbosity = verbosity
+        self.contour_smoother = contour_smoother
+        self.reduce_to_main_contour = reduce_to_main_contour
         self.img = None
         self._mask = None
 
@@ -117,12 +124,45 @@ class ContourAnalysis:
             mask = binary_fill_holes(mask)
         self._mask = mask
 
-    # Reference name
-    load = load_labels
+    def load(
+        self,
+        img,
+        mask=None,
+        roi=None,
+        fill_holes: bool = False,
+    ) -> None:
+        """Load image + boolean mask (reference contouranalysis.py:153).
+
+        With ``mask=None`` falls back to the label-based loading of
+        :meth:`load_labels` (interpreting ``img`` itself as the mask
+        source), so both historic call styles work.
+        """
+        if mask is None:
+            self.load_labels(img, roi=roi, fill_holes=fill_holes)
+            return
+        self.img = img
+        mask_img = mask.subregion(roi) if roi is not None else mask
+        data = np.asarray(
+            mask_img.img if hasattr(mask_img, "img") else mask_img
+        ).astype(bool)
+        if fill_holes:
+            from ..utils.morphology import binary_fill_holes
+
+            data = binary_fill_holes(data)
+        self.roi = roi
+        self._mask = data
 
     def contours(self) -> list[np.ndarray]:
         assert self._mask is not None, "Call load() first."
-        return _find_contours(self._mask)
+        contours = _find_contours(self._mask)
+        if self.reduce_to_main_contour and len(contours) > 1:
+            import cv2
+
+            areas = [cv2.contourArea(c) for c in contours]
+            contours = [contours[int(np.argmax(areas))]]
+        if self.contour_smoother is not None:
+            contours = [self.contour_smoother(c) for c in contours]
+        return contours
 
     def length(self) -> float:
         assert self._mask is not None, "Call load() first."

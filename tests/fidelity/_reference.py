@@ -133,6 +133,8 @@ def _install_stubs() -> list:
             arr = _np.asarray(image)
             if arr.dtype == _np.uint8:
                 return arr
+            if arr.dtype == bool:
+                return arr.astype(_np.uint8) * 255
             if _np.issubdtype(arr.dtype, _np.floating):
                 # Documented skimage semantics for [0, 1] floats.
                 return _np.round(_np.clip(arr, 0.0, 1.0) * 255.0).astype(
