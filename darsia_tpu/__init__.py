@@ -50,6 +50,7 @@ from .image.coordinatesystem import (
 )
 from .image.arithmetics import weight, superpose, stack, zeros_like, ones_like
 from .image.roi import ROI
+from .image.subregions import InterpolationOption
 from .image.coordinatetransformation import CoordinateTransformation
 from .image.image import Image, ScalarImage, OpticalImage, ExtensiveImage
 from .image.imread import (
@@ -190,6 +191,7 @@ from .multiphase.calibration import (
     calibrate_transformations,
 )
 from .multiphase.mass_analysis import (
+    EPSILON,
     co2_gas_density,
     co2_solubility,
     water_density,
@@ -212,6 +214,7 @@ from .manager.co2analysis import CO2Analysis
 
 # ---- L2: corrections
 from .corrections import (
+    AnyCorrection,
     BaseCorrection,
     TypeCorrection,
     read_correction,
@@ -354,7 +357,10 @@ from .ops import warp as warp_ops
 from .ops.resize import resize_array
 
 # ---- L8: presets / application layer
-from .corrections.color.colorcheckerfinder import find_colorchecker
+from .corrections.color.colorcheckerfinder import (
+    ColorCheckerPosition,
+    find_colorchecker,
+)
 from .restoration.averaging import porosity_based_averaging
 from .utils.morphology import find_boundaries
 from .presets.analysis.multichromatictracer import MultichromaticTracerAnalysis
@@ -371,7 +377,7 @@ from .presets.workflows.mode_resolution import (
 )
 from .presets.workflows.config import FluidFlowerConfig, MultiFluidFlowerConfig
 from .signals.models.pwtransformation import PWTransformation
-from .utils.standard_images import roi_to_mask
+from .utils.standard_images import StandardDtype, roi_to_mask
 from .presets.workflows.simple_run_analysis import SimpleRunAnalysis
 from .presets.workflows.heterogeneous_color_analysis import HeterogeneousColorAnalysis
 from .presets.workflows.heterogeneous_color_to_mass_analysis import (

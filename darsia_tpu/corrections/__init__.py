@@ -67,3 +67,22 @@ def _register_resize() -> None:
 
 _register_resize()
 """Class-name dispatch for :func:`read_correction`."""
+
+
+def _any_correction_union():
+    from ..restoration.resize import Resize
+
+    return (
+        TypeCorrection
+        | DriftCorrection
+        | CurvatureCorrection
+        | IlluminationCorrection
+        | PatchwiseIlluminationCorrection
+        | ColorCorrection
+        | Resize
+    )
+
+
+AnyCorrection = _any_correction_union()
+"""Union of corrections accepted in transformation chains
+(parity: reference corrections/readcorrection.py:17-25)."""

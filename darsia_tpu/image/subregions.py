@@ -5,6 +5,11 @@ implementation lives with the warp engine
 (:mod:`darsia_tpu.corrections.shape.quad`).
 """
 
+from typing import Literal
+
 from ..corrections.shape.quad import extract_quadrilateral_ROI
 
-__all__ = ["extract_quadrilateral_ROI"]
+__all__ = ["InterpolationOption", "extract_quadrilateral_ROI"]
+
+# Parity: reference image/subregions.py:27.
+InterpolationOption = Literal["inter_nearest", "inter_linear", "inter_area"]

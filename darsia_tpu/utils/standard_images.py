@@ -7,7 +7,7 @@ multiphase.mass_analysis).
 
 from __future__ import annotations
 
-from typing import Union
+from typing import Literal, Union
 
 import numpy as np
 
@@ -44,3 +44,7 @@ def roi_to_mask(roi, reference_image, mode: str = "voxels"):
         arr[r0:r1, c0:c1] = True
     mask.img = arr
     return mask
+
+
+# Parity: reference utils/standard_images.py:14.
+StandardDtype = Literal[np.uint8, np.uint16, np.float32, np.float64, np.bool_]
