@@ -235,13 +235,21 @@ def test_gui_worker_runs_mass_step(workspace):
     handle = session.start_step("analysis: mass", all_images=True)
 
     logs, events = [], []
-    deadline = _time.time() + 420
+    deadline = _time.time() + 600
     while _time.time() < deadline:
         handle.poll(on_log=logs.append, on_progress=events.append)
         if handle.finished and not handle.alive():
             break
         _time.sleep(0.5)
     handle.poll(on_log=logs.append, on_progress=events.append)
+    if not handle.finished and handle.alive():
+        # Hung worker: dump its Python traceback (SIGUSR1 hook in
+        # _worker) to stderr before failing, for flake diagnosis.
+        import os
+        import signal
+
+        os.kill(handle.process.pid, signal.SIGUSR1)
+        _time.sleep(2)
     assert handle.finished, f"worker did not finish; logs: {logs[-5:]}"
     assert not handle.failed, f"worker failed; logs: {logs[-5:]}"
     kinds = {e.get("event") for e in events if isinstance(e, dict)}
