@@ -183,7 +183,7 @@ def main() -> None:
     from darsia_tpu.corrections.shape.curvature import CurvatureCorrection
     from darsia_tpu.ops.color import rgb_to_gray
     from darsia_tpu.ops.fft import phase_correlation_prepared, prepare_phase_reference
-    from darsia_tpu.ops.pallas.warp2pass import warp_two_pass
+    from darsia_tpu.ops.pallas.warp2pass import warp_two_pass_planar
     from darsia_tpu.ops.solvers import jacobi_solve
     from darsia_tpu.ops.warp import identity_grid, warp
     from darsia_tpu.utils.interpolation import _tps_kernel
@@ -310,13 +310,17 @@ def main() -> None:
     id_in = identity_grid((OH, OW))
     curv_disp = int(np.ceil(float(jnp.max(jnp.abs(curvature_grid - id_in))))) + 1
 
+    # Planar (C, H, W) layout throughout: channels-last would put C=3 in
+    # the TPU's 128-lane minor axis and pad every elementwise op ~42x.
+    GRAY_W = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+
     def step(img_u8, base_spectra, base_corrected):
-        img = img_u8.astype(jnp.float32) / 255.0
-        balanced = jnp.matmul(img, balance, precision="highest")
-        corrected = warp_two_pass(balanced, curvature_grid, curv_disp)
+        img = img_u8.astype(jnp.float32) / 255.0  # (3, H, W)
+        balanced = jnp.einsum("chw,cd->dhw", img, balance, precision="highest")
+        corrected = warp_two_pass_planar(balanced, curvature_grid, curv_disp)
 
         # Registration: batched phase correlation vs baseline windows.
-        gray = rgb_to_gray(corrected)
+        gray = jnp.tensordot(GRAY_W, corrected, axes=([0], [0]))
         windows = extract_windows(gray)
         shifts, quality = jax.vmap(
             lambda f, w: phase_correlation_prepared(f, w, win)
@@ -335,33 +339,42 @@ def main() -> None:
         dx = jnp.clip(dx, -119.0, 119.0)
         dy = jnp.clip(dy, -119.0, 119.0)
         coords = id_grid + jnp.stack([-dy, -dx], axis=0)
-        registered = warp_two_pass(corrected, coords, 120)
+        registered = warp_two_pass_planar(corrected, coords, 120)
 
         # Concentration pipeline.
         diff = jnp.clip(registered - base_corrected, 0.0, None)
-        signal = rgb_to_gray(diff)
+        signal = jnp.tensordot(GRAY_W, diff, axes=([0], [0]))
         restored = jacobi_solve(signal, signal, 1.0, 0.2, dim=2, maxiter=10)
         return 2.0 * restored
 
     step_jit = jax.jit(step)
 
-    # Baseline-side precomputation.
-    base_dev = jnp.asarray(base_u8)
+    # Baseline-side precomputation (planar u8 upload, host-side transpose).
+    base_dev = jnp.asarray(np.moveaxis(base_u8, -1, 0))
     id_in = identity_grid((OH, OW))
     curv_disp0 = int(np.ceil(float(jnp.max(jnp.abs(curvature_grid - id_in))))) + 1
-    base_corrected = warp_two_pass(
-        jnp.matmul(
-            base_dev.astype(jnp.float32) / 255.0, balance, precision="highest"
+    base_corrected = warp_two_pass_planar(
+        jnp.einsum(
+            "chw,cd->dhw",
+            base_dev.astype(jnp.float32) / 255.0,
+            balance,
+            precision="highest",
         ),
         curvature_grid,
         curv_disp0,
     )
-    base_windows = extract_windows(rgb_to_gray(base_corrected))
+    base_windows = extract_windows(
+        jnp.tensordot(
+            jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32),
+            base_corrected,
+            axes=([0], [0]),
+        )
+    )
     base_spectra = jax.vmap(prepare_phase_reference)(base_windows)
     base_spectra.block_until_ready()
 
     # Probe image: perturbed baseline (keeps registration honest).
-    probe = np.roll(base_u8, shift=(2, 3), axis=(0, 1))
+    probe = np.moveaxis(np.roll(base_u8, shift=(2, 3), axis=(0, 1)), -1, 0)
     probe_dev = jnp.asarray(probe)
 
     # ---- Timing -----------------------------------------------------------

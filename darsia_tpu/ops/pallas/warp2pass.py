@@ -170,3 +170,28 @@ def warp_two_pass(
     out = jnp.swapaxes(out_t.reshape(C, OW, OH), 1, 2)
     out = jnp.moveaxis(out, 0, -1)
     return out[..., 0] if squeeze else out
+
+
+def warp_two_pass_planar(
+    data: jnp.ndarray, coords: jnp.ndarray, max_disp: int
+) -> jnp.ndarray:
+    """Planar-layout (C, H, W) variant of :func:`warp_two_pass`.
+
+    On TPU the channels-last layout puts C=3 in the 128-lane minor axis,
+    padding every elementwise op ~42x; pipelines that keep images planar
+    skip the moveaxis round trips entirely (the two-pass kernel is planar
+    internally anyway).
+    """
+    C, H, W = data.shape
+    OH, OW = coords.shape[1:]
+    cols_field = coords[1]
+    if OH != H:
+        row_ids = jnp.clip(jnp.arange(H), 0, OH - 1)
+        cols_field = cols_field[row_ids]
+    planar = data.reshape(C * H, W)
+    cols_rep = jnp.tile(cols_field, (C, 1))
+    tmp = warp_rows_pallas(planar, cols_rep, max_disp)  # (C*H, OW)
+    tmp_t = jnp.swapaxes(tmp.reshape(C, H, OW), 1, 2).reshape(C * OW, H)
+    rows_rep = jnp.tile(jnp.swapaxes(coords[0], 0, 1), (C, 1))
+    out_t = warp_rows_pallas(tmp_t, rows_rep, max_disp)  # (C*OW, OH)
+    return jnp.swapaxes(out_t.reshape(C, OW, OH), 1, 2)

@@ -117,3 +117,26 @@ def test_two_pass_smooth_random_field_vs_xla_gather():
     out_r = np.asarray(warp_two_pass(img, rough, max_disp=4))
     assert np.isfinite(out_r).all()
     assert out_r.min() >= -1e-5 and out_r.max() <= 1.0 + 1e-5
+
+
+def test_planar_variant_matches_channels_last():
+    """warp_two_pass_planar == warp_two_pass up to layout."""
+    import jax.numpy as jnp
+
+    from darsia_tpu.ops.pallas.warp2pass import (
+        warp_two_pass,
+        warp_two_pass_planar,
+    )
+    from darsia_tpu.ops.warp import identity_grid
+
+    rng = np.random.default_rng(17)
+    H, W = 64, 96
+    img = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    grid = identity_grid((H, W)) + jnp.asarray(
+        2.0 * np.sin(np.arange(H * W).reshape(1, H, W) / 53.0), jnp.float32
+    )
+    hwc = np.asarray(warp_two_pass(img, grid, 4))
+    chw = np.asarray(
+        warp_two_pass_planar(jnp.moveaxis(img, -1, 0), grid, 4)
+    )
+    assert np.allclose(hwc, np.moveaxis(chw, 0, -1), atol=1e-6)
