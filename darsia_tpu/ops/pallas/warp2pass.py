@@ -86,8 +86,13 @@ def warp_rows_pallas(
     W_out = cols.shape[1]
     assert cols.shape[0] == R, "data and cols must agree on rows"
     D = int(np.ceil(max_disp)) + 1
-    P = _BC * (-(-D // _BC))  # left pad, multiple of the lane width
-    num_windows = -(-(_BC + D + P + 2) // _BC)
+    # Left pad exactly D: an output tile [t, t+128) samples input columns
+    # [t-D, t+128+D), i.e. padded range [t+P-D, t+P+D+129) incl. the +1
+    # lerp neighbor. With P = D this needs ceil((2D+129)/128) aligned
+    # 128-windows — one fewer than a lane-aligned pad for D < 60 (the
+    # correction-warp regime), cutting that pass's loads+gathers by 1/3.
+    P = D
+    num_windows = -(-(2 * D + _BC + 1) // _BC)
 
     R_pad = -(-R // _BR) * _BR
     Wo_pad = -(-W_out // _BC) * _BC
