@@ -1,6 +1,7 @@
 """Corrections: geometric and color image corrections as pure transforms."""
 
 from .base import BaseCorrection, TypeCorrection, read_correction
+from .fuse import FusedCorrectionChain, apply_transformation_chain
 from .shape.quad import (
     extract_quadrilateral_ROI,
     homography_from_points,

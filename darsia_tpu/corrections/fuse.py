@@ -1,0 +1,191 @@
+"""Fused geometric-correction chains — ONE warp per pipeline.
+
+SURVEY §3.1 / reference ``src/darsia/image/image.py:192-199``: the reference
+applies each correction's resampling pass separately per image, so a chain of
+k geometric corrections costs k interpolation passes (each a scipy/OpenCV
+call).  Here consecutive geometric corrections collapse into a single
+pull-back **coordinate field** (:func:`darsia_tpu.ops.warp.compose_coordinate_maps`)
+and execute as ONE warp — the Pallas two-pass kernel on TPU when the
+displacement bound is moderate, the XLA gather warp otherwise.
+
+Fusion protocol (duck-typed on corrections):
+
+* ``pullback_field(input_shape) -> (coords, meta_update)`` — static
+  pull-back sampling grid of shape ``(dim, *out_shape)`` plus the metadata
+  updates the correction induces.  Implemented by
+  :class:`~darsia_tpu.corrections.shape.curvature.CurvatureCorrection` and
+  :class:`~darsia_tpu.corrections.shape.translation.TranslationCorrection`.
+* ``pullback_translation(img) -> (dim,)`` — data-dependent rigid
+  translation (drift alignment).  Exactly composable with any downstream
+  static field *when first in the chain* (innermost map), which matches the
+  reference's fixed correction order (drift before curvature, reference
+  ``manager/analysisbase.py:88-144``, ``presets/workflows/rig.py:1135``).
+
+:func:`apply_transformation_chain` is the constructor hook used by
+:class:`darsia_tpu.image.Image`: it walks the transformation list, fuses
+maximal runs of fusable geometric corrections, and applies everything else
+(color corrections, type casts, resizes) sequentially as before.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.warp import (
+    compose_coordinate_maps,
+    identity_grid,
+    warp_backend,
+)
+from .base import BaseCorrection
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "FusedCorrectionChain",
+    "apply_transformation_chain",
+    "is_static_fusable",
+    "is_dynamic_fusable",
+]
+
+#: Default static bound (voxels) on data-dependent drift translations.
+DEFAULT_DYNAMIC_DISP = 64.0
+
+
+def is_static_fusable(correction) -> bool:
+    """A correction whose pull-back field depends only on the input shape."""
+    return (
+        hasattr(correction, "pullback_field")
+        and getattr(correction, "fusion_order", 1) == 1
+    )
+
+
+def is_dynamic_fusable(correction) -> bool:
+    """A correction contributing a per-image rigid translation (drift)."""
+    return hasattr(correction, "pullback_translation")
+
+
+class FusedCorrectionChain(BaseCorrection):
+    """A run of geometric corrections compiled into one coordinate field.
+
+    The composed field is concrete (computed once at construction from the
+    member corrections' configs), so the per-image cost is exactly one
+    resampling pass regardless of chain length.  An optional leading dynamic
+    correction (drift) contributes a traced translation added to the static
+    field at execution time — exact, since the dynamic map is innermost.
+    """
+
+    def __init__(self, corrections: Sequence, input_shape: tuple) -> None:
+        corrections = list(corrections)
+        if not corrections:
+            raise ValueError("Empty correction chain.")
+        self.members = corrections
+        self.input_shape = tuple(int(s) for s in input_shape)
+
+        self._dynamic = None
+        start = 0
+        if is_dynamic_fusable(corrections[0]):
+            self._dynamic = corrections[0]
+            start = 1
+        if any(is_dynamic_fusable(c) for c in corrections[start:]):
+            raise ValueError(
+                "Dynamic (drift-like) corrections fuse only at chain start."
+            )
+
+        field: Optional[jnp.ndarray] = None
+        meta: dict = {}
+        shape = self.input_shape
+        for corr in corrections[start:]:
+            f, meta_update = corr.pullback_field(shape)
+            # F_{k+1}(p) = F_k(f_{k+1}(p)): sample the running field at the
+            # new correction's pull-back positions.
+            field = f if field is None else compose_coordinate_maps(f, field)
+            shape = tuple(int(s) for s in f.shape[1:])
+            meta.update(meta_update)
+        if field is None:
+            field = identity_grid(shape)
+        self.field = field
+        self.out_shape = shape
+        self._meta = meta
+
+        # Static displacement bound (concrete: configs, not data).
+        id_out = identity_grid(shape)
+        self.static_disp = float(jnp.max(jnp.abs(field - id_out)))
+        max_disp = int(np.ceil(self.static_disp)) + 1
+        if self._dynamic is not None:
+            max_disp += int(
+                np.ceil(
+                    getattr(
+                        self._dynamic, "max_displacement", DEFAULT_DYNAMIC_DISP
+                    )
+                )
+            )
+        self.max_disp = max_disp
+
+    # ------------------------------------------------------------- interface
+
+    def correct_array(self, img: jnp.ndarray) -> jnp.ndarray:
+        coords = self.field
+        if self._dynamic is not None:
+            t = self._dynamic.pullback_translation(img)
+            bound = float(
+                getattr(self._dynamic, "max_displacement", DEFAULT_DYNAMIC_DISP)
+            )
+            t = jnp.clip(t, -bound, bound)
+            coords = coords + t.reshape((-1,) + (1,) * len(self.out_shape))
+        dtype = img.dtype
+        out = warp_backend(
+            jnp.asarray(img).astype(jnp.float32),
+            coords,
+            order=1,
+            max_disp=self.max_disp,
+        )
+        if jnp.issubdtype(dtype, jnp.integer):
+            out = jnp.round(out)
+        return out.astype(dtype)
+
+    def correct_metadata(self, metadata: Optional[dict] = None) -> dict:
+        return dict(self._meta)
+
+
+def _collect_group(chain: list, i: int) -> int:
+    """End index (exclusive) of the maximal fusable run starting at i."""
+    j = i
+    if j < len(chain) and is_dynamic_fusable(chain[j]):
+        j += 1
+    while j < len(chain) and is_static_fusable(chain[j]):
+        j += 1
+    return j
+
+
+def apply_transformation_chain(image, transformations) -> None:
+    """Apply a transformation list to an Image, fusing geometric runs.
+
+    Mirrors the sequential constructor loop of the reference
+    (``image/image.py:192-199``) semantically; maximal runs of >= 2 fusable
+    geometric corrections execute as one :class:`FusedCorrectionChain`
+    (single resampling pass), everything else applies one at a time.
+    """
+    chain = [t for t in transformations if t is not None and callable(t)]
+    fuse = getattr(image, "space_dim", 0) == 2
+    i = 0
+    while i < len(chain):
+        j = _collect_group(chain, i) if fuse else i
+        if j - i >= 2:
+            input_shape = tuple(image.shape[: image.space_dim])
+            try:
+                fused = FusedCorrectionChain(chain[i:j], input_shape)
+            except Exception:  # pragma: no cover - conservative fallback
+                logger.exception(
+                    "Correction fusion failed; falling back to sequential."
+                )
+                fused = None
+            if fused is not None:
+                fused(image, overwrite=True)
+                i = j
+                continue
+        chain[i](image, overwrite=True)
+        i += 1

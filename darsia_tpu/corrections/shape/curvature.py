@@ -383,9 +383,30 @@ class CurvatureCorrection(BaseCorrection):
             coords[key] = pixels
         X, Y = coords["X"], coords["Y"]
         # (2, H, W) pull-back grid in (row, col) order.
-        self.cache["grid"] = jnp.stack([Y, X], axis=0)
+        grid = jnp.stack([Y, X], axis=0)
+        self.cache["grid"] = grid
         self.cache["shape"] = tuple(np.asarray(X.shape[:2]))
         self.cache["input_shape"] = shape
+        # Static displacement bound vs the output identity (concrete:
+        # depends only on the config) — feeds the Pallas warp backend.
+        from ...ops.warp import identity_grid
+
+        disp = float(jnp.max(jnp.abs(grid - identity_grid(grid.shape[1:]))))
+        self.cache["max_disp"] = int(np.ceil(disp)) + 1
+
+    # --------------------------------------------------------------- fusion
+
+    @property
+    def fusion_order(self) -> int:
+        """Interpolation order for fused chains (fusable only if 1)."""
+        return self.interpolation_order
+
+    def pullback_field(self, input_shape: tuple):
+        """Static pull-back coordinate field (fusion protocol)."""
+        shape = tuple(int(s) for s in input_shape)
+        if "grid" not in self.cache or self.cache.get("input_shape") != shape:
+            self._precompute_transformed_coordinates(shape)
+        return self.cache["grid"], self.correct_metadata()
 
     # ------------------------------------------------------------ correction
 
@@ -399,8 +420,13 @@ class CurvatureCorrection(BaseCorrection):
             self._precompute_transformed_coordinates(shape)
         grid = self.cache["grid"]
         dtype = img.dtype
-        out = warp(
-            img.astype(jnp.float32), grid, order=self.interpolation_order
+        from ...ops.warp import warp_backend
+
+        out = warp_backend(
+            img.astype(jnp.float32),
+            grid,
+            order=self.interpolation_order,
+            max_disp=self.cache.get("max_disp"),
         )
         if jnp.issubdtype(dtype, jnp.integer):
             out = jnp.round(out)

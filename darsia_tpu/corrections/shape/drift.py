@@ -43,6 +43,11 @@ class DriftCorrection(BaseCorrection):
     def _init_from_config(self, config: dict) -> None:
         self.active = config.get("active", True)
         self.relative_padding: float = config.get("padding", 0.0)
+        # Static bound on the estimated drift (voxels) — keeps the fused
+        # Pallas warp's displacement window sound and rejects wild estimates.
+        self.max_displacement: float = float(
+            config.get("max_displacement", 64.0)
+        )
         roi = config.get("roi")
         if roi is None:
             self.roi = None
@@ -73,6 +78,33 @@ class DriftCorrection(BaseCorrection):
         return self.translation_estimator.match_roi(
             img_src=img, img_dst=self.base, roi_src=roi_src, roi_dst=self.roi
         )
+
+    def pullback_translation(self, img: jnp.ndarray) -> jnp.ndarray:
+        """Traced per-image pull-back translation (fusion protocol).
+
+        Same estimate as :meth:`correct_array` (FFT phase correlation on the
+        ROI vs the baseline) but returned as a traced ``(drow, dcol)``
+        displacement to add to a downstream composed coordinate field,
+        instead of spending a resampling pass here.
+        """
+        from ...corrections.shape.translation import _to_gray
+        from ...ops.fft import phase_correlation
+
+        if not self.active or self.base is None:
+            return jnp.zeros(2, dtype=jnp.float32)
+        a = _to_gray(jnp.asarray(img))
+        b = _to_gray(jnp.asarray(self.base))
+        if self.roi is not None:
+            a = a[self.roi[0], self.roi[1]]
+            b = b[self.roi[0], self.roi[1]]
+        h = min(a.shape[0], b.shape[0])
+        w = min(a.shape[1], b.shape[1])
+        if h < 2 or w < 2:
+            return jnp.zeros(2, dtype=jnp.float32)
+        shift, _ = phase_correlation(a[:h, :w], b[:h, :w])
+        # translate_array's pull-back field is identity - shift.
+        t = -shift.astype(jnp.float32)
+        return jnp.where(jnp.isfinite(t), t, 0.0)
 
     def save(self, path) -> None:
         from pathlib import Path

@@ -137,6 +137,17 @@ class TranslationCorrection(BaseCorrection):
     def correct_array(self, img: jnp.ndarray) -> jnp.ndarray:
         return translate_array(jnp.asarray(img), self.translation)
 
+    def pullback_field(self, input_shape: tuple):
+        """Static pull-back field: identity minus the translation (fusion
+        protocol, see :mod:`darsia_tpu.corrections.fuse`)."""
+        shape = tuple(int(s) for s in input_shape)
+        shift = jnp.array(
+            [-float(self.translation[1]), -float(self.translation[0])],
+            dtype=jnp.float32,
+        )
+        coords = identity_grid(shape) + shift.reshape((2,) + (1,) * len(shape))
+        return coords, {}
+
     def save(self, path) -> None:
         path = Path(path).with_suffix(".npz")
         path.parent.mkdir(parents=True, exist_ok=True)

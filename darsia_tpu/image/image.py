@@ -13,8 +13,8 @@ Design (TPU-first, not a port):
   pipelines fuse into single XLA programs.
 * Corrections applied at construction (``transformations=[...]``) mirror the
   reference pipeline semantics (reference ``src/darsia/image/image.py:40-199``)
-  but each correction is itself jitted; chains fuse via
-  :func:`darsia_tpu.corrections.compile_pipeline`.
+  but runs of geometric corrections collapse into a single fused warp via
+  :func:`darsia_tpu.corrections.fuse.apply_transformation_chain`.
 
 Behavioral parity: reference ``src/darsia/image/image.py:35-2384``.
 """
@@ -137,11 +137,13 @@ class Image:
                 np.prod(self.shape[self.space_dim + self.time_dim :], dtype=int)
             )
 
-        # ---- transformations pipeline
+        # ---- transformations pipeline (runs of geometric corrections fuse
+        # into ONE warp — see darsia_tpu.corrections.fuse; reference applies
+        # one resampling pass per correction, image/image.py:192-199)
         if transformations is not None:
-            for transformation in transformations:
-                if transformation is not None and callable(transformation):
-                    transformation(self, overwrite=True)
+            from ..corrections.fuse import apply_transformation_chain
+
+            apply_transformation_chain(self, transformations)
 
         assert len(self.shape) == self.space_dim + self.time_dim + self.range_dim
 

@@ -25,12 +25,17 @@ import jax.numpy as jnp
 
 __all__ = [
     "warp",
+    "warp_backend",
     "identity_grid",
     "affine_grid",
     "displacement_grid",
     "perspective_grid",
     "compose_coordinate_maps",
 ]
+
+#: Above this displacement bound the Pallas window chain stops paying off
+#: (num_windows ~ 2*D/128 gathers per tile) and the XLA gather warp wins.
+PALLAS_MAX_DISP = 1024
 
 
 def identity_grid(shape: tuple[int, ...]) -> jnp.ndarray:
@@ -136,6 +141,52 @@ def warp(
     if channel_shape:
         return out.reshape(out_spatial + channel_shape)
     return out[..., 0]
+
+
+def warp_backend(
+    data: jnp.ndarray,
+    coords: jnp.ndarray,
+    order: int = 1,
+    mode: str = "constant",
+    cval: float = 0.0,
+    max_disp: Optional[int] = None,
+    force: Optional[str] = None,
+) -> jnp.ndarray:
+    """Backend-dispatching warp: Pallas two-pass on TPU, XLA gather otherwise.
+
+    Same semantics as :func:`warp` (including ``mode="constant"`` zero fill
+    outside the input domain).  The Pallas two-pass kernel
+    (:mod:`darsia_tpu.ops.pallas.warp2pass`) needs a static displacement
+    bound ``max_disp`` = max |coords - identity|; callers that know it
+    (fused correction chains, registration with clipped fields) get the
+    ~10x faster lane-gather path on real TPUs.
+
+    Args:
+        force: "pallas" / "xla" to override the automatic choice (tests).
+
+    """
+    use_pallas = force == "pallas" or (
+        force is None
+        and order == 1
+        and coords.shape[0] == 2
+        and data.ndim in (2, 3)
+        and max_disp is not None
+        and max_disp <= PALLAS_MAX_DISP
+        and jax.default_backend() == "tpu"
+    )
+    if not use_pallas:
+        return warp(data, coords, order=order, mode=mode, cval=cval)
+
+    from .pallas.warp2pass import warp_two_pass
+
+    out = warp_two_pass(
+        data.astype(jnp.float32), coords.astype(jnp.float32), int(max_disp)
+    )
+    if mode == "constant":
+        sizes = jnp.array(data.shape[:2], dtype=jnp.float32).reshape(2, 1, 1)
+        valid = jnp.all((coords >= 0) & (coords <= sizes - 1), axis=0)
+        out = jnp.where(valid[..., None] if out.ndim == 3 else valid, out, cval)
+    return out
 
 
 def affine_grid(
