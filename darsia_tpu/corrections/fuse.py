@@ -47,6 +47,7 @@ logger = logging.getLogger(__name__)
 __all__ = [
     "FusedCorrectionChain",
     "apply_transformation_chain",
+    "fused_chain",
     "is_static_fusable",
     "is_dynamic_fusable",
 ]
@@ -151,6 +152,37 @@ class FusedCorrectionChain(BaseCorrection):
         return dict(self._meta)
 
 
+#: Fused chains keyed by (member identities+versions, input shape).  The
+#: production hot loop (``Rig.read_image`` over a time series) constructs a
+#: fresh :class:`Image` per photograph with the SAME correction objects;
+#: without this cache every construction would recompose the coordinate
+#: field (a full-size resampling pass).  Members that mutate their geometry
+#: after construction (e.g. curvature re-tuning) bump ``_fusion_version``
+#: to invalidate.  The cache holds strong references to the member
+#: corrections, so ids cannot be recycled while an entry lives.
+_CHAIN_CACHE: dict = {}
+_CHAIN_CACHE_MAX = 8
+
+
+def _chain_key(members: Sequence, input_shape: tuple) -> tuple:
+    return (
+        tuple((id(c), getattr(c, "_fusion_version", 0)) for c in members),
+        tuple(int(s) for s in input_shape),
+    )
+
+
+def fused_chain(members: Sequence, input_shape: tuple) -> FusedCorrectionChain:
+    """Cached constructor for :class:`FusedCorrectionChain`."""
+    key = _chain_key(members, input_shape)
+    chain = _CHAIN_CACHE.get(key)
+    if chain is None:
+        chain = FusedCorrectionChain(members, input_shape)
+        if len(_CHAIN_CACHE) >= _CHAIN_CACHE_MAX:
+            _CHAIN_CACHE.pop(next(iter(_CHAIN_CACHE)))
+        _CHAIN_CACHE[key] = chain
+    return chain
+
+
 def _collect_group(chain: list, i: int) -> int:
     """End index (exclusive) of the maximal fusable run starting at i."""
     j = i
@@ -177,7 +209,7 @@ def apply_transformation_chain(image, transformations) -> None:
         if j - i >= 2:
             input_shape = tuple(image.shape[: image.space_dim])
             try:
-                fused = FusedCorrectionChain(chain[i:j], input_shape)
+                fused = fused_chain(chain[i:j], input_shape)
             except Exception:  # pragma: no cover - conservative fallback
                 logger.exception(
                     "Correction fusion failed; falling back to sequential."

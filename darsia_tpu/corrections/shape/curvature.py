@@ -393,6 +393,8 @@ class CurvatureCorrection(BaseCorrection):
 
         disp = float(jnp.max(jnp.abs(grid - identity_grid(grid.shape[1:]))))
         self.cache["max_disp"] = int(np.ceil(disp)) + 1
+        # Invalidate any fused chains built on the previous geometry.
+        self._fusion_version = getattr(self, "_fusion_version", 0) + 1
 
     # --------------------------------------------------------------- fusion
 

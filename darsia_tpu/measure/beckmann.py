@@ -29,7 +29,11 @@ from jax import lax
 from ..utils.andersonacceleration import AndersonAcceleration
 from ..utils.convergence_status import ConvergenceStatus
 from ..utils.grid import Grid
-from ..utils.quadrature import gauss_reference_cell, reference_cell_corners
+from ..utils.quadrature import (
+    gauss_reference_boundary,
+    gauss_reference_cell,
+    reference_cell_corners,
+)
 from . import beckmann_kernels as bk
 
 __all__ = [
@@ -62,6 +66,11 @@ class L1Mode(str, Enum):
     RAVIART_THOMAS = "raviart_thomas"
     CONSTANT_SUBCELL_PROJECTION = "constant_subcell_projection"
     CONSTANT_CELL_PROJECTION = "constant_cell_projection"
+    #: |RT0 flux| integrated over the cell boundary (face Gauss rules) —
+    #: extends the reference's cell-only quadrature modes
+    #: (``beckmann_problem.py:221-263``) with the face half of the
+    #: quadrature library.
+    FACE_QUADRATURE = "face_quadrature"
 
 
 class MobilityMode(str, Enum):
@@ -196,10 +205,15 @@ class BeckmannProblem:
 
         # L1 quadrature.
         l1_mode = L1Mode(options.get("l1_mode", L1Mode.RAVIART_THOMAS))
+        l1_order = options.get("l1_order", "max")
         if l1_mode == L1Mode.RAVIART_THOMAS:
-            quad_pts, quad_weights = gauss_reference_cell(self.dim, "max")
+            quad_pts, quad_weights = gauss_reference_cell(self.dim, l1_order)
         elif l1_mode == L1Mode.CONSTANT_SUBCELL_PROJECTION:
             quad_pts, quad_weights = reference_cell_corners(self.dim)
+        elif l1_mode == L1Mode.FACE_QUADRATURE:
+            quad_pts, quad_weights = gauss_reference_boundary(
+                self.dim, l1_order
+            )
         else:
             quad_pts, quad_weights = gauss_reference_cell(self.dim, 0)
         self.quad_pts = jnp.asarray(np.atleast_2d(quad_pts), dtype=self.dtype)

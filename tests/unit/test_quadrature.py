@@ -11,6 +11,8 @@ import pytest
 
 from darsia_tpu.utils.quadrature import (
     gauss,
+    gauss_lobatto,
+    gauss_reference_boundary,
     gauss_reference_cell,
     gauss_reference_face,
     reference_cell_corners,
@@ -65,6 +67,69 @@ def test_face_quadrature(dim, axis):
             other = [d for d in range(dim) if d != axis][0]
             approx = float(np.sum(weights * pts[:, other] ** 2))
             assert approx == pytest.approx(1.0 / 3.0, abs=1e-12)
+
+
+@pytest.mark.parametrize("order", [0, 1, 2, 3, 4, 5])
+@pytest.mark.parametrize("dim", [1, 2])
+def test_gauss_lobatto_exactness(dim, order):
+    """Lobatto order p (p+2 points/axis) is exact through degree 2p+1 and
+    includes the interval endpoints."""
+    pts, weights = gauss_lobatto(dim, order)
+    pts = np.atleast_2d(pts.reshape(-1, dim) if pts.ndim > 1 else pts[:, None])
+    x = pts[:, 0]
+    assert x.min() == pytest.approx(-1.0) and x.max() == pytest.approx(1.0)
+    for degree in range(0, 2 * order + 2):
+        approx = float(np.sum(weights * x**degree))
+        exact = (1 - (-1) ** (degree + 1)) / (degree + 1) * 2 ** (dim - 1)
+        assert approx == pytest.approx(exact, abs=1e-10)
+
+
+@pytest.mark.parametrize("order", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("dim", [2, 3])
+def test_boundary_quadrature_exactness(dim, order):
+    """The all-faces rule integrates polynomials exactly over the unit-cube
+    boundary (normalized: weights sum to 1 = boundary mean)."""
+    pts, weights = gauss_reference_boundary(dim, order)
+    assert pts.shape == (weights.shape[0], dim)
+    assert weights.sum() == pytest.approx(1.0)
+    # Boundary mean of x_0^2 on [0,1]^dim: two faces have x_0 fixed at 0/1
+    # (mean 1/2), the remaining 2(dim-1) faces integrate x^2 (mean 1/3).
+    approx = float(np.sum(weights * pts[:, 0] ** 2))
+    exact = (0.0 + 1.0 + 2 * (dim - 1) / 3.0) / (2 * dim)
+    assert approx == pytest.approx(exact, abs=1e-12)
+
+
+def test_beckmann_face_quadrature_mode():
+    """FACE_QUADRATURE L1 mode + arbitrary l1_order run the anchor problem
+    and stay within quadrature-error distance of the RT0 cell rule."""
+    import darsia_tpu as da
+
+    src = np.zeros((10, 10))
+    dst = np.zeros((10, 10))
+    src[2:5, 2:5] = 1
+    dst[1:3, 1:2] = 1
+    dst[4:7, 7:9] = 1
+    meta = {"width": 1, "height": 1, "scalar": True}
+    src_i, dst_i = da.Image(src, **meta), da.Image(dst, **meta)
+    geometry = da.Geometry(**src_i.shape_metadata())
+    src_i.img = np.asarray(src_i.img) / geometry.integrate(src_i)
+    dst_i.img = np.asarray(dst_i.img) / geometry.integrate(dst_i)
+    opts = {
+        "num_iter": 400,
+        "L": 1e9,
+        "tol_residual": 1e-3,
+        "tol_increment": 1e-3,
+        "tol_distance": 1e-3,
+    }
+    d_rt0 = da.wasserstein_distance(src_i, dst_i, method="newton", options=opts)
+    d_face = da.wasserstein_distance(
+        src_i,
+        dst_i,
+        method="newton",
+        options={**opts, "l1_mode": "face_quadrature", "l1_order": 3},
+    )
+    assert d_face == pytest.approx(d_rt0, rel=0.05)
+    assert d_face == pytest.approx(0.379543951823, rel=0.05)
 
 
 def test_reference_cell_corners_ordering():
