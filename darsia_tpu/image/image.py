@@ -579,104 +579,102 @@ class Image:
         for fig in figures:
             fig.show()
 
-    def _plotly_figures(self, px, go, title: str = "", **kwargs) -> list:
-        """Build the plotly figures (separated from show for testability)."""
-        figures = []
-        for time_index in range(self.time_num):
-            _title = title
-            if self.series:
-                rel_time = (
-                    ""
-                    if self.time is None or self.time[time_index] is None
-                    else f" - {self.time[time_index]} sec."
-                )
-                if _title:
-                    _title += " - "
-                _title += f"{time_index}{rel_time}"
+    def _frame_label(self, title: str, time_index: int) -> str:
+        """Figure label for one time step ("<title> - <k> - <t> sec.")."""
+        if not self.series:
+            return title
+        stamp = str(time_index)
+        if self.time is not None and self.time[time_index] is not None:
+            stamp = f"{time_index} - {self.time[time_index]} sec."
+        return f"{title} - {stamp}" if title else stamp
 
-            data = self.as_numpy()
-            if self.space_dim == 2:
-                if kwargs.get("surpress_2d", False):
-                    continue
-                array = (
-                    data[..., time_index]
-                    if self.series and self.scalar
-                    else data[..., time_index, :]
-                    if self.series
-                    else data
-                )
-                axes = []
-                for i in range(2):
-                    axis, revert = interpret_indexing("xy"[i], "ij")
-                    relative_axis = np.arange(1, self.num_voxels[axis] + 1)
-                    orientation = -1 if revert else 1
-                    axes.append(
-                        self.origin[i]
-                        + orientation * self.voxel_size[axis] * relative_axis
-                    )
-                show_arr = np.asarray(array, dtype=float)
-                if np.issubdtype(np.asarray(array).dtype, np.integer):
-                    show_arr = show_arr / np.iinfo(np.asarray(array).dtype).max
-                figures.append(
-                    px.imshow(
-                        show_arr,
-                        title=_title,
-                        x=axes[0],
-                        y=axes[1],
-                        aspect="equal",
-                    )
-                )
-            elif self.space_dim == 3:
-                assert self.scalar, "3d plotly views need scalar images."
-                if kwargs.get("surpress_3d", False):
-                    continue
-                array = data[..., time_index] if self.series else data
-                threshold = kwargs.get("threshold", float(np.min(data)))
-                if kwargs.get("relative", False):
-                    threshold = float(np.min(data)) + threshold * float(
-                        np.max(data) - np.min(data)
-                    )
-                active = array > threshold
-                matrix_indices = np.transpose(
-                    np.indices(array.shape[:3]).reshape((3, -1))
-                )
-                coords = np.transpose(
-                    np.asarray(self.coordinatesystem.coordinate(matrix_indices))
-                ).reshape((3,) + array.shape[:3])
-                view = kwargs.get("view", "scatter").lower()
-                if view == "scatter":
-                    figures.append(
-                        go.Figure(
-                            data=go.Scatter3d(
-                                x=coords[0][active].flatten(),
-                                y=coords[1][active].flatten(),
-                                z=coords[2][active].flatten(),
-                                mode="markers",
-                                marker=dict(
-                                    size=3,
-                                    color=array[active].flatten(),
-                                    colorscale="Viridis",
-                                    opacity=0.5,
-                                ),
-                            )
-                        )
-                    )
-                else:
-                    figures.append(
-                        go.Figure(
-                            data=go.Volume(
-                                x=coords[0].flatten(),
-                                y=coords[1].flatten(),
-                                z=coords[2].flatten(),
-                                value=array.flatten(),
-                                isomin=threshold,
-                                isomax=float(np.max(array)),
-                                opacity=0.5,
-                                surface_count=10,
-                            )
-                        )
-                    )
-        return figures
+    def _frame_at(self, data: np.ndarray, time_index: int) -> np.ndarray:
+        """Slice one time step out of the (space, time, range) array."""
+        if not self.series:
+            return data
+        return data[..., time_index] if self.scalar else data[..., time_index, :]
+
+    def _physical_axis(self, plot_axis: int) -> np.ndarray:
+        """Voxel positions along an x/y plot axis, in physical coordinates.
+
+        Delegates to the image's coordinate system — the single owner of
+        origin/orientation conventions — instead of re-deriving sign and
+        offset at the plotting layer.
+        """
+        matrix_axis, _ = interpret_indexing("xy"[plot_axis], "ij")
+        ids = np.zeros((self.num_voxels[matrix_axis], self.space_dim))
+        ids[:, matrix_axis] = np.arange(self.num_voxels[matrix_axis])
+        return np.asarray(self.coordinatesystem.coordinate(ids))[:, plot_axis]
+
+    def _plotly_figures(self, px, go, title: str = "", **kwargs) -> list:
+        """Build one plotly figure per time step (browser-free, testable).
+
+        Capability parity with reference ``image/image.py:1443`` (2d imshow
+        with physical axes; 3d thresholded scatter / volume views).
+        """
+        if self.space_dim == 2 and kwargs.get("surpress_2d", False):
+            return []
+        if self.space_dim == 3 and kwargs.get("surpress_3d", False):
+            return []
+        data = self.as_numpy()
+        if self.space_dim == 2:
+            return [
+                self._plotly_2d(px, self._frame_at(data, k), self._frame_label(title, k))
+                for k in range(self.time_num)
+            ]
+        return [
+            self._plotly_3d(go, self._frame_at(data, k), **kwargs)
+            for k in range(self.time_num)
+        ]
+
+    def _plotly_2d(self, px, frame: np.ndarray, label: str):
+        arr = np.asarray(frame, dtype=float)
+        if np.issubdtype(np.asarray(frame).dtype, np.integer):
+            arr = arr / np.iinfo(np.asarray(frame).dtype).max
+        return px.imshow(
+            arr,
+            title=label,
+            x=self._physical_axis(0),
+            y=self._physical_axis(1),
+            aspect="equal",
+        )
+
+    def _plotly_3d(self, go, frame: np.ndarray, **kwargs):
+        assert self.scalar, "3d plotly views need scalar images."
+        arr = np.asarray(frame)
+        lo, hi = float(arr.min()), float(arr.max())
+        threshold = kwargs.get("threshold", lo)
+        if kwargs.get("relative", False):
+            threshold = lo + threshold * (hi - lo)
+        ids = np.indices(arr.shape[:3]).reshape(3, -1).T
+        xyz = np.asarray(self.coordinatesystem.coordinate(ids)).T
+        values = arr.reshape(-1)
+        if kwargs.get("view", "scatter").lower() == "scatter":
+            keep = values > threshold
+            trace = go.Scatter3d(
+                x=xyz[0][keep],
+                y=xyz[1][keep],
+                z=xyz[2][keep],
+                mode="markers",
+                marker=dict(
+                    size=3,
+                    color=values[keep],
+                    colorscale="Viridis",
+                    opacity=0.5,
+                ),
+            )
+        else:
+            trace = go.Volume(
+                x=xyz[0],
+                y=xyz[1],
+                z=xyz[2],
+                value=values,
+                isomin=threshold,
+                isomax=hi,
+                opacity=0.5,
+                surface_count=10,
+            )
+        return go.Figure(data=trace)
 
     # --------------------------------------------------------------- pytree
 
