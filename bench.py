@@ -142,6 +142,40 @@ def measure_public_api(base_u8: np.ndarray) -> dict:
     }
 
 
+def measure_public_api_guarded(timeout: int = 560) -> dict:
+    """Run :func:`measure_public_api` in a subprocess with a hard timeout.
+
+    The tunneled TPU backend occasionally hangs on fresh XLA compiles; a
+    skipped row beats a stalled benchmark.  A correctness-gate failure
+    inside the row (exit code 1) still fails the whole bench.
+    """
+    import subprocess
+
+    code = (
+        "import json, jax, bench\n"
+        "jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)\n"
+        "print(json.dumps(bench.measure_public_api(bench._load_image())))\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            cwd=str(Path(__file__).parent),
+        )
+        if proc.returncode == 1 and "GATE FAILED" in proc.stderr:
+            print(proc.stderr, file=sys.stderr)
+            sys.exit(1)
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+    except (subprocess.TimeoutExpired, OSError, json.JSONDecodeError):
+        pass
+    return {}
+
+
 def measure_wasserstein() -> dict:
     """OT-core benchmark: W1 Newton on a 512^2 weighted problem.
 
@@ -521,7 +555,7 @@ def main() -> None:
 
     mpix_s = mpix / elapsed
 
-    extra = measure_public_api(base_u8)
+    extra = measure_public_api_guarded()
     extra.update(measure_wasserstein())
     extra.update(measure_batched_wasserstein())
     payload = {

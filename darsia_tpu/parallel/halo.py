@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["halo_exchange"]
+__all__ = ["halo_exchange", "halo_exchange_2d"]
 
 
 def halo_exchange(
@@ -59,3 +59,22 @@ def halo_exchange(
     bottom_halo = jnp.where(idx == num - 1, edge_bottom, from_below)
 
     return jnp.concatenate([top_halo, local, bottom_halo], axis=axis)
+
+
+def halo_exchange_2d(
+    local: jnp.ndarray,
+    halo: int,
+    row_axis_name: str,
+    col_axis_name: str,
+    axes: tuple = (0, 1),
+) -> jnp.ndarray:
+    """Corner-correct 2d halo exchange over a (rows, cols) space mesh.
+
+    Two sequential 1d exchanges: the column exchange ships blocks already
+    extended by the row exchange, so corner halos arrive from the diagonal
+    neighbour via the row neighbour — the standard corner-completion trick,
+    with no extra diagonal ``ppermute``.  Outer boundaries are
+    edge-replicated as in :func:`halo_exchange`.
+    """
+    ext = halo_exchange(local, halo, row_axis_name, axis=axes[0])
+    return halo_exchange(ext, halo, col_axis_name, axis=axes[1])

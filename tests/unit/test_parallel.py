@@ -195,3 +195,74 @@ def test_sharded_wasserstein_batch_matches_per_item(mesh_size):
             )
         )
     assert np.abs(np.asarray(dist) - np.asarray(expected)).max() < 2e-3
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_halo_exchange_2d_corner_correct(mesh_shape):
+    """2d halo exchange delivers corner data from diagonal neighbours."""
+    _require_mesh()
+    from darsia_tpu.parallel import halo_exchange_2d
+
+    pr, pc = mesh_shape
+    H, W, halo = 8 * pr, 6 * pc, 2
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((H, W)), jnp.float32)
+    mesh = create_mesh(mesh_shape, ("rows", "cols"), devices=jax.devices()[:8])
+
+    def per_shard(local):
+        return halo_exchange_2d(local, halo, "rows", "cols")
+
+    fn = shard_map(
+        per_shard, mesh=mesh, in_specs=(P("rows", "cols"),),
+        out_specs=P("rows", "cols"),
+    )
+    out = np.asarray(jax.jit(fn)(x))
+
+    x_np = np.asarray(x)
+    padded = np.pad(x_np, halo, mode="edge")
+    lh, lw = H // pr, W // pc
+    eh, ew = lh + 2 * halo, lw + 2 * halo
+    for si in range(pr):
+        for sj in range(pc):
+            block = out[si * eh:(si + 1) * eh, sj * ew:(sj + 1) * ew]
+            expected = padded[si * lh:si * lh + eh, sj * lw:sj * lw + ew]
+            np.testing.assert_array_equal(block, expected)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+@pytest.mark.parametrize("channels", [None, 3])
+def test_sharded_warp_matches_single_device(mesh_shape, channels):
+    """Spatially sharded warp == single-device warp (VERDICT r2 task 6)."""
+    _require_mesh()
+    from darsia_tpu.ops.warp import identity_grid, warp
+    from darsia_tpu.parallel import sharded_warp
+
+    pr, pc = mesh_shape
+    H, W = 16 * pr, 12 * pc
+    D = 5
+    rng = np.random.default_rng(13)
+    shape = (H, W) if channels is None else (H, W, channels)
+    img = jnp.asarray(rng.random(shape), jnp.float32)
+
+    # Smooth bounded displacement field (|disp| <= D), incl. out-of-domain
+    # samples at the boundary to exercise the zero-fill path.
+    yy, xx = np.meshgrid(
+        np.linspace(0, np.pi, H), np.linspace(0, np.pi, W), indexing="ij"
+    )
+    disp = np.stack(
+        [D * 0.9 * np.sin(xx), -D * 0.9 * np.cos(yy)]
+    ).astype(np.float32)
+    coords = identity_grid((H, W)) + jnp.asarray(disp)
+
+    ref = np.asarray(warp(img, coords, order=1))
+
+    mesh = create_mesh(mesh_shape, ("rows", "cols"), devices=jax.devices()[:8])
+    apply_fn = sharded_warp(mesh, (H, W), max_disp=D)
+    space = P("rows", "cols") if channels is None else P("rows", "cols", None)
+    img_sh = jax.device_put(img, NamedSharding(mesh, space))
+    coords_sh = jax.device_put(
+        coords, NamedSharding(mesh, P(None, "rows", "cols"))
+    )
+    out = np.asarray(apply_fn(img_sh, coords_sh))
+
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
