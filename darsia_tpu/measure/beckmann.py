@@ -504,19 +504,62 @@ class BeckmannProblem:
         }
         return outputs, timings
 
-    def _record_fused_history(self, history, dist, k, status_code, buf, total):
+    def _time_phase(self, fn, args, reps: int = 5) -> float:
+        """Steady-state seconds of one jitted phase kernel (device-forced)."""
+
+        def force(out):
+            leaf = out
+            while isinstance(leaf, (tuple, list)):
+                leaf = leaf[0]
+            np.asarray(leaf)  # host fetch forces completion on relayed TPUs
+
+        force(fn(*args))  # compile + warmup
+        tic = time.time()
+        for _ in range(reps):
+            out = fn(*args)
+        force(out)
+        return (time.time() - tic) / reps
+
+    def profile_phases(self, mass_diff: jnp.ndarray, reps: int = 5) -> dict:
+        """Measured per-phase seconds of one solver iteration.
+
+        Reference info-dict parity (``beckmann_problem.py:1186-1214``
+        records assemble/solve per phase from its host loop).  The fused
+        device loop admits no in-loop host timers, so each phase kernel is
+        re-executed standalone at steady state — real measured numbers for
+        the same XLA programs the loop fuses.
+        """
+        raise NotImplementedError
+
+    def _attach_phase_profile(self, info: dict, mass_rhs: jnp.ndarray) -> None:
+        """Attach measured per-phase timings to an info dict (and to every
+        convergence-history row) when ``options["profile_phases"]``."""
+        if not self.options.get("profile_phases", False):
+            return
+        phases = self.profile_phases(mass_rhs / self.cell_vol)
+        info.setdefault("timings", {})["phases"] = phases
+        for row in info.get("convergence_history", {}).get("timings", []):
+            if isinstance(row, dict):
+                row.update(phases)
+
+    def _record_fused_history(
+        self, history, dist, k, status_code, buf, total, phases=None
+    ):
         """Unpack the device metrics buffer into the host history record."""
         k = int(k)
         status_code = int(status_code)
         buf = np.asarray(buf, dtype=np.float64)[:k]
         per_iter = total / max(k, 1)
+        row_timings = {"total": per_iter}
+        if phases:
+            row_timings.update(phases)
         for row in buf:
             history.append(
                 distance=float(row[0]),
                 distance_increment=float(row[1]),
                 residual=float(row[2]),
                 increment=float(row[3]),
-                timings={"total": per_iter},
+                timings=dict(row_timings),
                 total_run_time=per_iter,
             )
         status = {
@@ -666,6 +709,38 @@ class BeckmannNewtonSolver(BeckmannProblem):
 
         return step
 
+    def profile_phases(self, mass_diff: jnp.ndarray, reps: int = 5) -> dict:
+        """Measured seconds per Newton phase: mobility -> pressure solve ->
+        flux update -> metrics (see :meth:`BeckmannProblem.profile_phases`)."""
+        import jax
+
+        mass_rhs = self.cell_vol * jnp.asarray(mass_diff, self.dtype)
+        p0 = jnp.zeros(self.shape, dtype=self.dtype)
+        p = self.pressure_solve(tuple(self.base_face_weights), mass_rhs, p0)
+        fluxes = self.flux_from_pressure(tuple(self.base_face_weights), p)
+        fw = self._cell_based_face_weights(fluxes)
+
+        pressure = jax.jit(lambda w, rhs: self.pressure_solve(w, rhs, p0))
+
+        def metrics(fl, pp, w, rhs):
+            distance = self._l1_weighted(fl)
+            return self._residual(
+                fl, pp, w, rhs, jnp.maximum(distance, 1e-30)
+            )
+
+        return {
+            "mobility": self._time_phase(
+                self._cell_based_face_weights, (fluxes,), reps
+            ),
+            "pressure_solve": self._time_phase(pressure, (fw, mass_rhs), reps),
+            "flux_update": self._time_phase(
+                jax.jit(self.flux_from_pressure), (fw, p), reps
+            ),
+            "metrics": self._time_phase(
+                jax.jit(metrics), (fluxes, p, fw, mass_rhs), reps
+            ),
+        }
+
     def _build_fused_step(self, mass_rhs: jnp.ndarray):
         """One Newton iteration as a single XLA program (one device
         roundtrip per iteration instead of ~5 scalar fetches)."""
@@ -709,6 +784,7 @@ class BeckmannNewtonSolver(BeckmannProblem):
             "timings": timings,
             "peak_memory_consumption": peak_device_memory_gb(),
         }
+        self._attach_phase_profile(info, mass_rhs)
         return distance, fluxes, p, info
 
     def solve_beckmann_problem(self, mass_diff: jnp.ndarray):
@@ -833,6 +909,7 @@ class BeckmannNewtonSolver(BeckmannProblem):
             "timings": {"total": sum(h["total"] for h in history.timings)},
             "peak_memory_consumption": peak_device_memory_gb(),
         }
+        self._attach_phase_profile(info, mass_rhs)
         return distance, fluxes, p, info
 
 
@@ -906,6 +983,43 @@ class BeckmannBregmanSolver(BeckmannProblem):
 
         return step
 
+    def profile_phases(self, mass_diff: jnp.ndarray, reps: int = 5) -> dict:
+        """Measured seconds per Bregman phase: pressure solve (u-step) ->
+        flux update -> shrinkage -> metrics."""
+        import jax
+
+        mass_rhs = self.cell_vol * jnp.asarray(mass_diff, self.dtype)
+        scaled_weights = tuple(w / self.L for w in self.base_face_weights)
+        thresholds = tuple(self.L / w for w in self.base_face_weights)
+        p = jnp.zeros(self.shape, dtype=self.dtype)
+        p = self.pressure_solve(scaled_weights, mass_rhs, p)
+        fluxes = self.flux_from_pressure(scaled_weights, p)
+
+        pressure = jax.jit(
+            lambda rhs, pp: self.pressure_solve(scaled_weights, rhs, pp)
+        )
+        # FACE_BASED mobility reconstructs vector fluxes host-side and is
+        # not traceable — time it eagerly (what the host loop executes).
+        shrink = lambda fl: self._vector_shrink(fl, thresholds)  # noqa: E731
+        if self._traceable_mobility_bregman():
+            shrink = jax.jit(shrink)
+
+        def metrics(fl, rhs):
+            distance = self._l1_weighted(fl)
+            div = bk.face_divergence(fl, self.face_vol, self.dim)
+            return distance, jnp.linalg.norm(div - rhs)
+
+        return {
+            "pressure_solve": self._time_phase(pressure, (mass_rhs, p), reps),
+            "flux_update": self._time_phase(
+                jax.jit(self.flux_from_pressure), (scaled_weights, p), reps
+            ),
+            "shrinkage": self._time_phase(shrink, (fluxes,), reps),
+            "metrics": self._time_phase(
+                jax.jit(metrics), (fluxes, mass_rhs), reps
+            ),
+        }
+
     def _build_fused_bregman_step(self, mass_rhs, scaled_weights, thresholds):
         """One Bregman iteration as a single XLA program — one device
         roundtrip per iteration (host fallback path)."""
@@ -962,6 +1076,7 @@ class BeckmannBregmanSolver(BeckmannProblem):
             "timings": timings,
             "peak_memory_consumption": peak_device_memory_gb(),
         }
+        self._attach_phase_profile(info, mass_rhs)
         return distance, fluxes, p, info
 
     def solve_beckmann_problem(self, mass_diff: jnp.ndarray):
@@ -1099,6 +1214,7 @@ class BeckmannBregmanSolver(BeckmannProblem):
             "timings": {"total": sum(h["total"] for h in history.timings)},
             "peak_memory_consumption": peak_device_memory_gb(),
         }
+        self._attach_phase_profile(info, mass_rhs)
         return distance, fluxes, p, info
 
 

@@ -248,3 +248,27 @@ def test_wasserstein_3d_two_cubes():
     # diagonal transport is resolved on axis-aligned faces), not float32
     # roundoff — see docs/ot_precision.md.
     assert float(w) == pytest.approx(expected, rel=0.03)
+
+
+@pytest.mark.parametrize("method", ["newton", "bregman"])
+def test_profile_phases(method):
+    """profile_phases=True reports measured per-phase solver seconds
+    (mobility/pressure/flux/shrinkage split, VERDICT r2 task 7) in the
+    info dict and in every history row."""
+    src_img, dst_img = _problem()
+    options = dict(OPTIONS)
+    options["L"] = 1e9 if method == "newton" else 1.0
+    options["profile_phases"] = True
+    distance, info = da.wasserstein_distance(
+        src_img, dst_img, options=options, method=method
+    )
+    phases = info["timings"]["phases"]
+    assert "pressure_solve" in phases and "flux_update" in phases
+    if method == "bregman":
+        assert "shrinkage" in phases
+    else:
+        assert "mobility" in phases
+    assert all(v > 0 for v in phases.values())
+    row = info["convergence_history"]["timings"][0]
+    assert row["pressure_solve"] == phases["pressure_solve"]
+    assert np.isclose(distance, TRUE_DISTANCE, rtol=1e-2)
