@@ -289,6 +289,50 @@ print(json.dumps({"w1_batch8_256_pairs_per_s": round(B/el, 2),
     return {}
 
 
+def measure_tvd() -> dict:
+    """Split-Bregman TVD throughput at 512^2 (anisotropic, 30 iters).
+
+    The BASELINE.md measured-reference table's TPU column for the TVD row
+    (reference CPU: 66.3 iters/s numpy-vectorized anisotropic path).
+    Subprocess + timeout: a hung remote compile skips the row.
+    """
+    import subprocess
+
+    code = r"""
+import json, time
+import numpy as np, jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import darsia_tpu as dt
+n, iters = 512, 30
+rng = np.random.default_rng(0)
+img = np.clip(np.kron(rng.random((n//32, n//32)), np.ones((32, 32)))
+              + 0.1*rng.standard_normal((n, n)), 0, 1).astype(np.float32)
+run = lambda: dt.split_bregman_tvd(img, mu=10.0, ell=1.0,
+                                   max_num_iter=iters, isotropic=False, eps=None)
+jax.block_until_ready(run())
+t0 = time.perf_counter()
+out = run()
+float(np.asarray(out[0, 0]))
+el = time.perf_counter() - t0
+print(json.dumps({"tvd_512_iters_per_s": round(iters/el, 2)}))
+"""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=str(Path(__file__).parent),
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+    except (subprocess.TimeoutExpired, OSError, json.JSONDecodeError):
+        pass
+    return {}
+
+
 def _record_history(payload: dict) -> None:
     row = dict(payload)
     row["timestamp"] = datetime.now(timezone.utc).isoformat()
@@ -558,6 +602,7 @@ def main() -> None:
     extra = measure_public_api_guarded()
     extra.update(measure_wasserstein())
     extra.update(measure_batched_wasserstein())
+    extra.update(measure_tvd())
     payload = {
         "metric": "Mpix/s corrected+registered+concentration (4K image)",
         "value": round(mpix_s, 2),

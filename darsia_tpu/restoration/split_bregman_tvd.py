@@ -12,7 +12,7 @@ diffusion solve (reference: ~75% of CPU time) runs as fused stencil sweeps.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Union
+from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,120 @@ from ..utils.dtype import convert_dtype
 from ..utils.linear_solvers import CG, MG, Jacobi, Solver
 
 __all__ = ["split_bregman_tvd"]
+
+
+class _TvdConfig(NamedTuple):
+    """Static configuration keying one compiled fused TVD program."""
+
+    shape: tuple
+    dim: int
+    max_num_iter: int
+    isotropic: bool
+    eps: Optional[float]
+    solver_key: tuple
+
+
+_PROGRAM_CACHE: dict = {}
+_PROGRAM_CACHE_MAX = 32
+
+
+def _solver_signature(solver: Solver, dim: int, shape: tuple) -> tuple:
+    """The solver attributes that shape the traced inner solve."""
+    if isinstance(solver, MG):
+        return ("mg", solver.depth, solver.smoother_iterations, solver.maxiter)
+    if isinstance(solver, CG):
+        return ("cg", solver.tol, solver.maxiter)
+    return ("jacobi", max(solver.maxiter, 1))
+
+
+def _fused_program(cfg: _TvdConfig, solver: Solver):
+    """Jitted whole-loop TVD program, cached per static configuration."""
+    prog = _PROGRAM_CACHE.get(cfg)
+    if prog is not None:
+        return prog
+
+    dim = cfg.dim
+    linear_solve = _make_linear_solve(solver, dim, cfg.shape)
+
+    def run(work, mu_arr, omega_arr, ell_arr, x_init, d_init, b_init):
+        img_nrm = jnp.maximum(jnp.linalg.norm(work), 1e-30)
+
+        def rhs_function(d, b, ell_cur):
+            result = omega_arr * work
+            for i in range(dim):
+                diff = ell_cur * (b[..., i] - d[..., i])
+                result = result + forward_diff(diff, axis=i, dim=dim)
+            return result
+
+        def shrink_step(x_new, b, ell_cur):
+            if cfg.isotropic:
+                dub = jnp.stack(
+                    [
+                        backward_diff(x_new, j, dim) + b[..., j]
+                        for j in range(dim)
+                    ],
+                    axis=-1,
+                )
+                s = jnp.linalg.norm(dub, axis=-1)
+                shrinkage = jnp.maximum(s - mu_arr / ell_cur, 0.0) / (
+                    s + 1e-18
+                )
+                d = dub * shrinkage[..., None]
+                b = dub - d
+            else:
+                ds, bs = [], []
+                for j in range(dim):
+                    dub = backward_diff(x_new, j, dim) + b[..., j]
+                    k = mu_arr / ell_cur
+                    dj = jnp.maximum(jnp.abs(dub) - k, 0.0) * jnp.sign(dub)
+                    ds.append(dj)
+                    bs.append(dub - dj)
+                d = jnp.stack(ds, axis=-1)
+                b = jnp.stack(bs, axis=-1)
+            return d, b
+
+        def iteration(x, d, b):
+            x_new = linear_solve(
+                x, rhs_function(d, b, ell_arr), omega_arr, ell_arr
+            )
+            d, b = shrink_step(x_new, b, ell_arr)
+            inc = jnp.linalg.norm(x_new - x) / img_nrm
+            return x_new, d, b, inc
+
+        if cfg.eps is None:
+
+            def body(it, state):
+                x, d, b = state
+                x, d, b, _ = iteration(x, d, b)
+                return (x, d, b)
+
+            result, _, _ = lax.fori_loop(
+                0, cfg.max_num_iter, body, (x_init, d_init, b_init)
+            )
+        else:
+
+            def cond(state):
+                _, _, _, inc, it = state
+                return jnp.logical_and(
+                    it < cfg.max_num_iter,
+                    jnp.logical_or(it == 0, inc >= cfg.eps),
+                )
+
+            def body(state):
+                x, d, b, _, it = state
+                x, d, b, inc = iteration(x, d, b)
+                return (x, d, b, inc, it + 1)
+
+            result, *_ = lax.while_loop(
+                cond, body, (x_init, d_init, b_init, jnp.float32(1.0), 0)
+            )
+        return result
+
+    prog = jax.jit(run)
+    if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:
+        _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+    _PROGRAM_CACHE[cfg] = prog
+    return prog
 
 
 def _make_linear_solve(solver: Solver, dim: int, shape):
@@ -192,29 +306,25 @@ def split_bregman_tvd(
             if eps is not None and float(inc) < eps:
                 break
         result = x
-    elif eps is None:
-        def body(it, state):
-            x, d, b = state
-            x, d, b, _ = iteration(x, d, b, ell_arr, it)
-            return (x, d, b)
-
-        result, _, _ = lax.fori_loop(
-            0, max_num_iter, body, (x_init, d_init, b_init)
-        )
     else:
-        def cond(state):
-            _, _, _, inc, it = state
-            return jnp.logical_and(
-                it < max_num_iter, jnp.logical_or(it == 0, inc >= eps)
-            )
-
-        def body(state):
-            x, d, b, _, it = state
-            x, d, b, inc = iteration(x, d, b, ell_arr, it)
-            return (x, d, b, inc, it + 1)
-
-        result, *_ = lax.while_loop(
-            cond, body, (x_init, d_init, b_init, jnp.float32(1.0), 0)
+        # The fused loop is compiled ONCE per static configuration and
+        # cached: a fresh closure per call would re-trace (and on remote
+        # backends re-compile, minutes) every invocation of the SAME
+        # denoise — the production regime is one program reused over a
+        # whole time series.
+        solve = _fused_program(
+            _TvdConfig(
+                shape=tuple(work.shape),
+                dim=dim,
+                max_num_iter=int(max_num_iter),
+                isotropic=bool(isotropic),
+                eps=None if eps is None else float(eps),
+                solver_key=_solver_signature(solver, dim, tuple(work.shape)),
+            ),
+            solver,
+        )
+        result = solve(
+            work, mu_arr, omega_arr, ell_arr, x_init, d_init, b_init
         )
 
     return jnp.asarray(convert_dtype(result, img_dtype))
