@@ -150,7 +150,11 @@ from .analysis.imageregistration import (
 from .image.patches import Patches
 from .corrections.shape.piecewiseperspective import PiecewisePerspectiveTransform
 from .corrections.shape.deformation import DeformationCorrection
-from .analysis.contouranalysis import contour_length, ContourAnalysis
+from .analysis.contouranalysis import (
+    contour_length,
+    extract_lower_arc,
+    ContourAnalysis,
+)
 from .analysis.contour_smoother import (
     Contour,
     ContourSmoother,

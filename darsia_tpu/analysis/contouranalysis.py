@@ -12,7 +12,32 @@ from typing import Optional, Union
 
 import numpy as np
 
-__all__ = ["contour_length", "ContourAnalysis"]
+__all__ = ["contour_length", "extract_lower_arc", "ContourAnalysis"]
+
+
+def extract_lower_arc(contour: np.ndarray) -> np.ndarray:
+    """Keep the bottom arc of a closed contour (interface extraction).
+
+    A closed contour splits at its leftmost/rightmost points into two arcs;
+    the gravitationally lower one (larger mean row index) is the advancing
+    interface the fingers step tracks (reference
+    ``analysis_fingers.py:42-108``).  Input/output in the cv2 ``(N, 1, 2)``
+    (col, row) layout.
+    """
+    pts = np.asarray(contour).reshape(-1, 2)
+    if pts.shape[0] < 3:
+        return np.asarray(contour)
+    n = pts.shape[0]
+    left, right = int(np.argmin(pts[:, 0])), int(np.argmax(pts[:, 0]))
+    lo, hi = min(left, right), max(left, right)
+    direct = np.arange(lo, hi + 1)
+    wrap = np.concatenate([np.arange(hi, n), np.arange(0, lo + 1)])
+    lower = (
+        direct
+        if pts[direct, 1].mean() > pts[wrap, 1].mean()
+        else wrap
+    )
+    return pts[lower].astype(np.int32).reshape(-1, 1, 2)
 
 
 def _find_contours(mask: np.ndarray) -> list[np.ndarray]:
@@ -226,18 +251,109 @@ class ContourAnalysis:
         _, valleys = self.local_extrema()
         return len(valleys)
 
-    def plot_peaks(self, **kwargs) -> None:  # pragma: no cover - visual
+    def _plot_overlay(
+        self,
+        img,
+        points: Optional[np.ndarray],
+        contours: Optional[list],
+        path,
+        show: bool,
+        point_color: str,
+        point_size: float,
+        contour_color: str,
+        contour_linewidth: float,
+        contour_alpha: float = 1.0,
+        dpi: int = 150,
+    ) -> None:
+        """Shared contour + marker overlay writer (headless PNG export)."""
         import matplotlib.pyplot as plt
 
-        peaks, _ = self.local_extrema()
-        plt.imshow(self._mask)
-        plt.scatter(peaks[:, 1], peaks[:, 0], c="r", marker="x")
-        plt.show()
+        background = img if img is not None else self._mask
+        data = np.asarray(
+            background.img if hasattr(background, "img") else background
+        )
+        fig, ax = plt.subplots()
+        if data.ndim == 3 and np.issubdtype(data.dtype, np.floating):
+            data = np.clip(data, 0, 1)
+        ax.imshow(data, cmap=None if data.ndim == 3 else "gray")
+        if contours is None:
+            contours = self.contours()
+        for c in contours:
+            pts = np.asarray(c).reshape(-1, 2)  # (col, row)
+            ax.plot(
+                pts[:, 0],
+                pts[:, 1],
+                color=contour_color,
+                linewidth=contour_linewidth,
+                alpha=contour_alpha,
+            )
+        if points is not None and len(points) > 0:
+            pts = np.asarray(points).reshape(-1, 2)  # (row, col)
+            if point_size > 0:
+                ax.scatter(
+                    pts[:, 1], pts[:, 0], c=point_color, s=point_size, zorder=3
+                )
+        ax.set_axis_off()
+        if path is not None:
+            from pathlib import Path as _P
 
-    def plot_valleys(self, **kwargs) -> None:  # pragma: no cover - visual
-        import matplotlib.pyplot as plt
+            out = _P(path)
+            out.parent.mkdir(parents=True, exist_ok=True)
+            fig.savefig(out, dpi=dpi, bbox_inches="tight", pad_inches=0)
+        if show:  # pragma: no cover - interactive
+            plt.show()
+        else:
+            plt.close(fig)
 
-        _, valleys = self.local_extrema()
-        plt.imshow(self._mask)
-        plt.scatter(valleys[:, 1], valleys[:, 0], c="b", marker="o")
-        plt.show()
+    def plot_peaks(
+        self,
+        img=None,
+        peaks: Optional[np.ndarray] = None,
+        roi=None,
+        contours: Optional[list] = None,
+        path=None,
+        show: bool = False,
+        **kwargs,
+    ) -> None:
+        """Overlay finger tips (+contours) on the image; save PNG at
+        ``path`` (reference contouranalysis plot surface, fingers step
+        ``analysis_fingers.py:398-430``)."""
+        if peaks is None:
+            peaks, _ = self.local_extrema()
+        self._plot_overlay(
+            img if img is not None else self.img,
+            peaks,
+            contours,
+            path,
+            show,
+            point_color=kwargs.get("peak_color", "r"),
+            point_size=float(kwargs.get("peak_size", 5)),
+            contour_color=kwargs.get("contour_color", "w"),
+            contour_linewidth=float(kwargs.get("contour_linewidth", 0.5)),
+            contour_alpha=float(kwargs.get("contour_alpha", 1.0)),
+        )
+
+    def plot_valleys(
+        self,
+        img=None,
+        valleys: Optional[np.ndarray] = None,
+        roi=None,
+        contours: Optional[list] = None,
+        path=None,
+        show: bool = False,
+        **kwargs,
+    ) -> None:
+        """Overlay fjords/valleys (+contours); save PNG at ``path``."""
+        if valleys is None:
+            _, valleys = self.local_extrema()
+        self._plot_overlay(
+            img if img is not None else self.img,
+            valleys if kwargs.get("plot_valley_dots", True) else None,
+            contours,
+            path,
+            show,
+            point_color=kwargs.get("valley_dot_color", "r"),
+            point_size=float(kwargs.get("valley_dot_size", 20)),
+            contour_color=kwargs.get("contour_color", "w"),
+            contour_linewidth=float(kwargs.get("contour_linewidth", 1.0)),
+        )

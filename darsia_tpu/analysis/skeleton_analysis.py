@@ -67,6 +67,151 @@ class SkeletonAnalysis:
         mask = self.skeleton & (neighbours >= 4)
         return np.argwhere(mask)
 
+    def _top_line(self) -> np.ndarray:
+        """Per-column topmost skeleton pixel (row, col) — the injection
+        front the fingers hang from (reference semantics,
+        ``skeleton_analysis.py:196-203``)."""
+        pixels = np.argwhere(self.skeleton)
+        if pixels.size == 0:
+            return np.zeros((0, 2), dtype=int)
+        order = np.lexsort((pixels[:, 0], pixels[:, 1]))  # by col, then row
+        pixels = pixels[order]
+        first = np.concatenate(
+            [[True], pixels[1:, 1] != pixels[:-1, 1]]
+        )  # first (== topmost) entry per column
+        return pixels[first]
+
+    @staticmethod
+    def _group_points(points: np.ndarray, max_distance: float, prefer=None):
+        """Greedy Manhattan clustering; one representative per group.
+
+        ``prefer``: set of (row, col) tuples whose members win group
+        representation (top-line anchoring).
+        """
+        if len(points) == 0:
+            return points
+        remaining = np.asarray(points)
+        reps = []
+        while len(remaining):
+            d = np.abs(remaining - remaining[0]).sum(axis=1)
+            group = remaining[d < max_distance]
+            rep = group[0]
+            if prefer:
+                for p in group:
+                    if tuple(p) in prefer:
+                        rep = p
+                        break
+            reps.append(rep)
+            remaining = remaining[d >= max_distance]
+        return np.asarray(reps)
+
+    def leaves_and_junctions(
+        self, max_group_distance: float = 5.0
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Classified skeleton feature points (leaves / junctions / base).
+
+        Degree-1 pixels below the top line are finger tips ("leaves");
+        degree>2 pixels off the top line are finger splits ("junctions");
+        degree>2 pixels ON the top line are base junctions where fingers
+        root (reference ``skeleton_analysis.py:132-292``; the graph degree
+        there equals the 8-neighbour count computed here).  Nearby points
+        are merged within ``max_group_distance`` pixels (Manhattan).
+
+        Returns:
+            (leaves, junctions, base_junctions) as (N, 2) (row, col) arrays.
+        """
+        assert self.skeleton is not None, "Call load() first."
+        empty = np.zeros((0, 2), dtype=int)
+        if not self.skeleton.any():
+            return empty, empty, empty
+
+        top = self._top_line()
+        top_set = {tuple(p) for p in top}
+        top_min_row = int(top[:, 0].min())
+
+        endpoints = self.endpoints()
+        branches = self.branch_points()
+        leaves = (
+            endpoints[endpoints[:, 0] >= top_min_row]
+            if len(endpoints)
+            else empty
+        )
+        on_top = (
+            np.array([tuple(p) in top_set for p in branches], dtype=bool)
+            if len(branches)
+            else np.zeros(0, dtype=bool)
+        )
+        junctions = branches[~on_top] if len(branches) else empty
+        base = branches[on_top] if len(branches) else empty
+
+        leaves = self._group_points(leaves, max_group_distance)
+        junctions = self._group_points(junctions, max_group_distance)
+        base = self._group_points(base, max_group_distance, prefer=top_set)
+        return (
+            leaves.reshape(-1, 2),
+            junctions.reshape(-1, 2),
+            base.reshape(-1, 2),
+        )
+
+    def plot_skeleton(
+        self,
+        img=None,
+        skeleton: Optional[np.ndarray] = None,
+        leaves: Optional[np.ndarray] = None,
+        junctions: Optional[np.ndarray] = None,
+        base_junctions: Optional[np.ndarray] = None,
+        roi=None,
+        path=None,
+        show: bool = False,
+        dpi: int = 150,
+        **kwargs,
+    ) -> None:
+        """Skeleton overlay with classified feature points; PNG export."""
+        import matplotlib.pyplot as plt
+
+        skeleton = skeleton if skeleton is not None else self.skeleton
+        background = img if img is not None else skeleton
+        data = np.asarray(
+            background.img if hasattr(background, "img") else background
+        )
+        fig, ax = plt.subplots()
+        if data.ndim == 3 and np.issubdtype(data.dtype, np.floating):
+            data = np.clip(data, 0, 1)
+        ax.imshow(data, cmap=None if data.ndim == 3 else "gray")
+        ys, xs = np.nonzero(skeleton)
+        ax.scatter(
+            xs,
+            ys,
+            s=float(kwargs.get("skeleton_linewidth", 1.0)),
+            c=kwargs.get("skeleton_color", "w"),
+            marker=".",
+        )
+        for pts, color_key, size_key, default_color in (
+            (leaves, "leaf_color", "leaf_size", "g"),
+            (junctions, "junction_color", "junction_size", "m"),
+            (base_junctions, "base_junction_color", "base_junction_size", "b"),
+        ):
+            if pts is not None and len(pts):
+                arr = np.asarray(pts).reshape(-1, 2)
+                ax.scatter(
+                    arr[:, 1],
+                    arr[:, 0],
+                    s=float(kwargs.get(size_key, 20)),
+                    c=kwargs.get(color_key, default_color),
+                    zorder=3,
+                )
+        ax.set_axis_off()
+        if path is not None:
+            from pathlib import Path as _P
+
+            out = _P(path)
+            out.parent.mkdir(parents=True, exist_ok=True)
+            fig.savefig(out, dpi=dpi, bbox_inches="tight", pad_inches=0)
+        if show:  # pragma: no cover - interactive
+            plt.show()
+        else:
+            plt.close(fig)
+
 
 # A uniquely identified location within the collection of paths (reference
 # path_evolution_analysis.py:20).
@@ -352,6 +497,7 @@ class PathEvolutionAnalysis:
             out = _P(path)
             if out.suffix not in (".png", ".jpg", ".jpeg", ".svg"):
                 out = out.with_suffix(".png")
+            out.parent.mkdir(parents=True, exist_ok=True)
             plt.savefig(out, dpi=dpi, bbox_inches="tight", pad_inches=0)
         if show:
             plt.show()

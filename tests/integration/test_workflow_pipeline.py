@@ -291,6 +291,62 @@ def test_fingers_step(workspace, context):
         stats["number_new_fingers"] + stats["number_continuing_fingers"]
         == stats["number_fingers"]
     ).all()
+    # New columns of the deep schema (ref analysis_fingers.py:930-1005).
+    deep_columns = {
+        "number_leaves", "number_junctions", "number_base_junctions",
+        "number_base_fingers", "number_new_base_fingers",
+        "number_continuing_base_fingers", "number_ending_base_fingers",
+        "number_new_splitting_fingers", "number_skeleton_leaves",
+    }
+    assert deep_columns <= set(stats.columns)
+    # Reference folder schema: per-image overlays for every category.
+    fingers = results / "fingers"
+    for sub in (
+        "tips", "fjords", "paths", "skeleton", "skeleton-leaf-paths",
+        "skeleton-junction-paths", "skeleton-base-junction-paths",
+    ):
+        pngs = list((fingers / sub).rglob("*.png"))
+        assert len(pngs) >= 4, f"expected per-image overlays in {sub}/"
+    # statistics.json path log: per-finger physical coordinates, speeds,
+    # travel distances + per-time aggregates (ref :628-900).
+    import json
+
+    with open(fingers / "statistics.json") as f:
+        pstats = json.load(f)
+    for section in (
+        "paths", "fjord_paths", "leaf_paths", "junction_paths",
+        "base_junction_paths",
+    ):
+        assert section in pstats
+    assert len(pstats["times"]) >= 4 and len(pstats["images"]) >= 4
+    peak_log = pstats["paths"]["full"]
+    finger_records = {
+        k: v for k, v in peak_log.items() if k.startswith("path_")
+    }
+    assert finger_records, "expected tracked finger paths"
+    rec = next(iter(finger_records.values()))
+    for field in (
+        "start", "end", "time", "coordinates", "velocities", "speed",
+        "vertical_speed", "travel_distance", "vertical_travel_distance",
+    ):
+        assert field in rec
+    assert len(rec["coordinates"]) == len(rec["time"])
+    assert len(rec["travel_distance"]) == len(rec["time"])
+    # travel distance is cumulative.
+    td = rec["travel_distance"]
+    assert all(b >= a - 1e-12 for a, b in zip(td, td[1:]))
+    # Per-time aggregates present with the reference keys.
+    stats_by_time = peak_log["statistics"]
+    assert stats_by_time
+    one = next(iter(stats_by_time.values()))
+    for field in (
+        "horizontal_distances", "coordinates", "travel_distances",
+        "speeds", "number_active_paths", "number_new_paths",
+        "roi_width", "frequency", "wavelength", "contour_length",
+    ):
+        assert field in one
     # Path plots + advance-rate exports written.
     plots = list((results / "fingers" / "paths").rglob("*.png"))
     assert plots, "expected per-ROI path plots"
+    rates = list((results / "fingers" / "paths").rglob("*advance_rates.csv"))
+    assert rates, "expected advance-rate export"

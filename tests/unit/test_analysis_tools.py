@@ -199,3 +199,54 @@ def test_segmentation_comparison():
     # Overlap region exists.
     assert fractions[(0, 1)] > 0
     assert 0 < comparison.overlap(a, b) < 1
+
+
+def test_extract_lower_arc():
+    """Lower-arc extraction keeps the bottom of a closed contour
+    (reference analysis_fingers.py:42-108 interface semantics)."""
+    import cv2
+
+    mask = np.zeros((40, 60), dtype=np.uint8)
+    cv2.circle(mask, (30, 20), 12, 1, -1)
+    contours, _ = cv2.findContours(
+        mask, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE
+    )
+    arc = da.extract_lower_arc(contours[0])
+    pts = np.asarray(arc).reshape(-1, 2)  # (col, row)
+    full = np.asarray(contours[0]).reshape(-1, 2)
+    # Spans the full horizontal extent...
+    assert pts[:, 0].min() == full[:, 0].min()
+    assert pts[:, 0].max() == full[:, 0].max()
+    # ...but stays on the lower half (larger rows than the circle center).
+    assert pts[:, 1].mean() > full[:, 1].mean()
+    # Roughly half the points of the closed contour.
+    assert len(pts) < 0.75 * len(full)
+
+
+def test_leaves_and_junctions_classification():
+    """Skeleton feature classification: finger tips below the top line,
+    splits off it, base junctions on it (ref skeleton_analysis.py:132-292)."""
+    # A "comb": horizontal top bar with two teeth hanging down, one forked.
+    mask = np.zeros((40, 40), dtype=bool)
+    mask[5, 5:35] = True          # top bar
+    mask[5:30, 10] = True         # plain tooth
+    mask[5:20, 25] = True         # forked tooth stem
+    mask[20:30, 22] = True        # fork left (approx)
+    mask[20:30, 28] = True        # fork right
+    mask[19, 23:28] = True        # connect fork
+    analysis = da.SkeletonAnalysis()
+    analysis.load(mask)
+    leaves, junctions, base = analysis.leaves_and_junctions(
+        max_group_distance=3
+    )
+    # Tips of the teeth are leaves; bar ends count too (reference keeps
+    # boundary fingers, skeleton_analysis.py:213 comment).
+    assert len(leaves) >= 3
+    assert (leaves[:, 0] > 10).sum() >= 3  # the three hanging tooth tips
+    # The bar-tooth attachments are base junctions on the top line.
+    assert len(base) >= 1
+    assert (base[:, 0] <= 6).all()
+    # All classified points lie on the skeleton's bounding box.
+    for pts in (leaves, junctions, base):
+        if len(pts):
+            assert pts[:, 0].min() >= 0 and pts[:, 1].max() < 40
