@@ -26,29 +26,75 @@ __all__ = [
 
 
 class PointSelectionAssistant(BaseAssistant):
-    """Collect points in matrix (row, col) voxel indexing."""
+    """Collect points in matrix (row, col) voxel indexing.
+
+    Interactive loop (reference ``point_selection_assistant.py:112-196``):
+    left-click adds a point, ``d`` removes the last one, ``escape`` resets,
+    ``enter`` finalizes.  Programmatic ``points=[...]`` skips the UI.
+    """
 
     def __init__(self, img, points=None, **kwargs) -> None:
         super().__init__(img, **kwargs)
         self.pts: list = []
         if points is not None:
             self.pts = [np.asarray(p, dtype=float) for p in points]
-        self.finalized_prompt_input = False
+        self.finalized = False
+        self._markers: list = []
 
     def _reset(self) -> None:
         self.pts = []
+        self.finalized = False
+        for artist in self._markers:
+            try:
+                artist.remove()
+            except (ValueError, NotImplementedError):
+                pass
+        self._markers = []
+
+    def _finalize(self) -> None:
+        self.finalized = True
+        super()._finalize()
+
+    def _print_instructions(self) -> None:
+        if self.verbosity:
+            print(
+                "Left-click to add a point; 'd' removes the last point; "
+                "'escape' resets; 'enter' finalizes."
+            )
 
     def _setup_event_handler(self) -> None:
         super()._setup_event_handler()
         self.fig.canvas.mpl_connect("button_press_event", self._on_mouse_click)
 
     def _on_mouse_click(self, event) -> None:
+        self._print_event(event)
         if event.xdata is None or event.ydata is None:
+            return
+        if getattr(event, "button", 1) not in (1, None):
             return
         # Matplotlib gives (x, y); store matrix (row, col).
         self.pts.append(np.array([event.ydata, event.xdata]))
-        self.ax.plot(event.xdata, event.ydata, "r+")
+        (marker,) = self.ax.plot(event.xdata, event.ydata, "r+", markersize=10)
+        self._markers.append(marker)
         self.fig.canvas.draw_idle()
+
+    def _on_key_press(self, event) -> None:
+        if event.key == "d":
+            self._remove_last_point()
+            return
+        super()._on_key_press(event)
+
+    def _remove_last_point(self) -> None:
+        if not self.pts:
+            return
+        self.pts.pop()
+        if self._markers:
+            try:
+                self._markers.pop().remove()
+            except (ValueError, NotImplementedError):
+                pass
+        if self.fig is not None:
+            self.fig.canvas.draw_idle()
 
     def __call__(self) -> VoxelArray:
         if not self.pts:

@@ -80,3 +80,82 @@ def test_subregion_assistant(img):
         img, coordinates=[[0.2, 0.2], [1.0, 1.0]]
     )()
     assert coords.shape == (2, 2)
+
+
+def _click(fig, ax, row, col, button=1):
+    """Inject a synthetic left-click at data coords (row, col)."""
+    from matplotlib.backend_bases import MouseButton, MouseEvent
+
+    fig.canvas.draw()
+    x, y = ax.transData.transform((col, row))
+    event = MouseEvent(
+        "button_press_event", fig.canvas, x, y, button=MouseButton.LEFT
+    )
+    fig.canvas.callbacks.process("button_press_event", event)
+
+
+def _key(fig, key):
+    from matplotlib.backend_bases import KeyEvent
+
+    event = KeyEvent("key_press_event", fig.canvas, key)
+    fig.canvas.callbacks.process("key_press_event", event)
+
+
+def test_point_selection_event_loop(img):
+    """The interactive event loop is drivable with synthetic matplotlib
+    events (VERDICT r2 task 9): clicks add points, 'd' undoes, 'escape'
+    resets, 'enter' finalizes."""
+    assistant = da.PointSelectionAssistant(img, strict=False, block=False)
+    first = assistant()  # headless: builds the figure, empty selection
+    assert len(first) == 0
+    fig, ax = assistant.fig, assistant.ax
+    assert fig is not None
+
+    _click(fig, ax, 10, 20)
+    _click(fig, ax, 30, 40)
+    _click(fig, ax, 50, 60)
+    assert len(assistant.pts) == 3
+    assert len(assistant._markers) == 3
+
+    _key(fig, "d")  # undo last
+    assert len(assistant.pts) == 2 and len(assistant._markers) == 2
+
+    _key(fig, "escape")  # reset
+    assert assistant.pts == [] and assistant._markers == []
+
+    _click(fig, ax, 12, 34)
+    _key(fig, "enter")  # finalize (closes figure)
+    assert assistant.finalized
+    pts = assistant()
+    assert pts.shape == (1, 2)
+    assert np.allclose(pts[0], [12, 34], atol=1.0)
+
+
+def test_box_selection_event_loop(img):
+    assistant = da.BoxSelectionAssistant(
+        img, width=10, strict=False, block=False
+    )
+    assistant()  # build figure
+    _click(assistant.fig, assistant.ax, 25, 45)
+    _key(assistant.fig, "enter")
+    boxes = assistant()
+    assert len(boxes) == 1
+    rows, cols = boxes[0]
+    assert rows.start <= 25 <= rows.stop and cols.start <= 45 <= cols.stop
+
+
+def test_subregion_event_loop(img):
+    assistant = da.SubregionAssistant(img, strict=False, block=False)
+    try:
+        assistant()
+    except AssertionError:
+        pass  # headless first call: no clicks yet
+    _click(assistant.fig, assistant.ax, 5, 5)
+    _click(assistant.fig, assistant.ax, 55, 85)
+    coords = np.asarray(assistant._clicks)
+    assert coords.shape == (2, 2)
+
+
+def test_strict_headless_raises(img):
+    with __import__("pytest").raises(RuntimeError, match="interactive"):
+        da.PointSelectionAssistant(img)()
