@@ -73,3 +73,13 @@ def load_co2_series(shape=(270, 512)):
         img.time = 3600.0 * (i + 1)
         out.append(img)
     return out
+
+
+def fast_mode() -> bool:
+    """True when examples should downscale work (integration-suite runs).
+
+    Set DARSIA_TPU_FAST=1 to cut resolutions/refinement levels so the
+    whole examples suite finishes in minutes on a cold XLA cache; the
+    default (unset) runs each example at its reference-mirroring scale.
+    """
+    return os.environ.get("DARSIA_TPU_FAST", "") not in ("", "0")

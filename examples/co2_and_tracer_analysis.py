@@ -48,11 +48,20 @@ else:  # Synthetic fallback.
     series = load_co2_series(shape=(180, 340))
     co2_image, tracer_image = series[2], series[1]
 
+if _data.fast_mode():
+    shrink = darsia.Resize(shape=(426, 795))
+    baseline_co2 = shrink(baseline_co2)
+    baseline_tracer = shrink(baseline_tracer)
+    co2_image = shrink(co2_image)
+    tracer_image = shrink(tracer_image)
+
+_tvd_opts = {"max_num_iter": 30} if _data.fast_mode() else {}
+
 # CO2: red-channel reduction -> TVD -> linear+clip model.
 co2_analysis = darsia.ConcentrationAnalysis(
     base=baseline_co2,
     signal_reduction=darsia.MonochromaticReduction(color="red"),
-    restoration=darsia.TVD(),
+    restoration=darsia.TVD(**_tvd_opts),
     model=darsia.CombinedModel(
         [
             darsia.LinearModel(scaling=4.0),
@@ -67,7 +76,7 @@ print("co2 concentration range:", float(np.min(co2.img)), float(np.max(co2.img))
 tracer_analysis = darsia.ConcentrationAnalysis(
     base=baseline_tracer,
     signal_reduction=darsia.MonochromaticReduction(color="gray"),
-    restoration=darsia.TVD(),
+    restoration=darsia.TVD(**_tvd_opts),
     model=darsia.CombinedModel(
         [
             darsia.LinearModel(scaling=4.0),

@@ -9,11 +9,12 @@ import _data  # noqa: F401 (sys.path bootstrap for checkouts)
 import darsia_tpu as da
 from _data import load_co2_series
 
-images = load_co2_series(shape=(256, 384))
+fast = _data.fast_mode()
+images = load_co2_series(shape=(128, 192) if fast else (256, 384))
 img_src, img_dst = images[0], images[1]
 
 registration = da.ImageRegistration(
-    img_dst, N_patches=[8, 12], rtol=0.05
+    img_dst, N_patches=[4, 6] if fast else [8, 12], rtol=0.05
 )
 transformed = registration(img_src)
 print("registered image:", np.asarray(transformed.img).shape)

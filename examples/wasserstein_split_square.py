@@ -30,8 +30,9 @@ geometry = darsia.Geometry(**src_image.shape_metadata())
 src_image.img = np.asarray(src_image.img) / geometry.integrate(src_image)
 dst_image.img = np.asarray(dst_image.img) / geometry.integrate(dst_image)
 
-# Refine 2^4x -> 160x160 (conservative nearest refinement)
-lvl = 4
+# Refine 2^4x -> 160x160 (conservative nearest refinement); fast mode
+# (integration suite) stops one level earlier.
+lvl = 3 if _data.fast_mode() else 4
 resize = darsia.Resize(
     **{
         "resize shape": (rows * 2**lvl, cols * 2**lvl),

@@ -14,11 +14,12 @@ import pytest
 
 EXAMPLES_DIR = Path(__file__).resolve().parents[2] / "examples"
 
-EXAMPLES = sorted(
-    p.name for p in EXAMPLES_DIR.glob("*.py") if not p.name.startswith("_")
-)
-
-# Per-example generous timeouts (first-run XLA compiles dominate).
+# Heavier examples (multiple XLA programs / larger problems) carry the
+# "slow" marker: `pytest tests/integration -m "not slow"` runs the quick
+# majority.  ALL examples run in fast mode by default (DARSIA_TPU_FAST=1:
+# downscaled inputs, fewer refinement levels) so a cold-cache full suite
+# finishes in minutes; set DARSIA_TPU_FULL_EXAMPLES=1 to run each example
+# at its reference-mirroring scale.
 SLOW = {
     "wasserstein.py",
     "wasserstein_split_square.py",
@@ -27,14 +28,25 @@ SLOW = {
     "co2_and_tracer_analysis.py",
 }
 
+EXAMPLES = sorted(
+    p.name for p in EXAMPLES_DIR.glob("*.py") if not p.name.startswith("_")
+)
+PARAMS = [
+    pytest.param(name, marks=pytest.mark.slow) if name in SLOW else name
+    for name in EXAMPLES
+]
+
 
 RUNNER = Path(__file__).parent / "_run_example.py"
 
 
-@pytest.mark.parametrize("example", EXAMPLES)
+@pytest.mark.parametrize("example", PARAMS)
 def test_example_runs(example):
     env = dict(os.environ)
     env.setdefault("MPLBACKEND", "Agg")
+    full = env.get("DARSIA_TPU_FULL_EXAMPLES", "") not in ("", "0")
+    if not full:
+        env.setdefault("DARSIA_TPU_FAST", "1")
     timeout = 900 if example in SLOW else 420
     # The runner forces the CPU backend in-process (the JAX_PLATFORMS env
     # var is overridden by this environment's sitecustomize).
