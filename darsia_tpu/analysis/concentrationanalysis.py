@@ -45,7 +45,7 @@ class ConcentrationAnalysis:
             if not isinstance(base, list):
                 base = [base]
             if any(
-                not np.issubdtype(np.asarray(img.img).dtype, np.floating)
+                not np.issubdtype(img.img.dtype, np.floating)
                 for img in base
             ):
                 base = [img.img_as(np.float32) for img in base]
@@ -74,8 +74,9 @@ class ConcentrationAnalysis:
 
     def update(self, base=None, mask=None) -> None:
         """Update the baseline image and/or analysis mask."""
+        self._fused = None  # re-trace the fused pipeline on config change
         if base is not None:
-            if not np.issubdtype(np.asarray(base.img).dtype, np.floating):
+            if not np.issubdtype(base.img.dtype, np.floating):
                 base = base.img_as(np.float32)
             self.base = base.copy()
         if mask is not None:
@@ -118,34 +119,130 @@ class ConcentrationAnalysis:
 
     # ----------------------------------------------------------------- main
 
+    def _pipeline_stages(self, diff):
+        """diff -> concentration (shared by the eager and jitted paths)."""
+        signal = self._reduce_signal(diff)
+        self._inspect(signal, title="Scalar signal")
+        clean_signal = self._clean_signal(signal)
+        self._inspect(clean_signal, title="Clean signal")
+        balanced_signal = self._balance_signal(clean_signal)
+        self._inspect(balanced_signal, title="Balanced signal")
+        if self.first_restoration_then_model:
+            smooth_signal = self._restore_signal(balanced_signal)
+            return self._convert_signal(smooth_signal, diff)
+        nonsmooth = self._convert_signal(balanced_signal, diff)
+        return self._restore_signal(nonsmooth)
+
+    @staticmethod
+    def _component_fingerprint(obj, depth: int = 0):
+        """Value fingerprint of a pipeline component's mutable state.
+
+        The fused jitted pipeline bakes component parameters in as
+        constants at trace time; calibration loops mutate them between
+        evaluations (``update_model_parameters``), so the program must be
+        re-traced whenever any parameter value changes.  Scalars are
+        fingerprinted by value, arrays by identity (parameter updates
+        assign fresh arrays).
+        """
+        import numbers
+
+        fp = ConcentrationAnalysis._component_fingerprint
+        if obj is None or isinstance(obj, (numbers.Number, str, bool)):
+            return obj
+        if isinstance(obj, (np.ndarray, jnp.ndarray)):
+            return ("__array__", id(obj))
+        if depth > 5:
+            return id(obj)
+        if isinstance(obj, (list, tuple)):
+            return tuple(fp(v, depth + 1) for v in obj)
+        if isinstance(obj, dict):
+            return tuple(
+                sorted((str(k), fp(v, depth + 1)) for k, v in obj.items())
+            )
+        if not hasattr(obj, "__dict__"):
+            return id(obj)
+        return tuple(
+            (name, fp(value, depth + 1))
+            for name, value in sorted(vars(obj).items())
+        )
+
+    def _pipeline_fingerprint(self):
+        return (
+            self._diff_option,
+            self.first_restoration_then_model,
+            None if self.base is None else id(self.base.img),
+            self._component_fingerprint(self.model),
+            self._component_fingerprint(self.balancing),
+            self._component_fingerprint(self.signal_reduction),
+            id(self.restoration),
+            None
+            if self.threshold_cleaning_filter is None
+            else id(self.threshold_cleaning_filter),
+        )
+
+    def _fused_pipeline(self):
+        """The whole per-image pipeline as ONE jitted program.
+
+        Eager stage-by-stage dispatch costs a host<->device roundtrip per
+        op — ruinous on relayed TPU backends (SURVEY §3.2: the per-image
+        hot loop must compile to one XLA program).  Built lazily; a
+        component that cannot trace (host-side restoration, verbose
+        inspection) disables fusion permanently for this instance and the
+        eager path takes over.
+        """
+        import jax
+
+        has_base = self.base is not None
+
+        def pipeline(data, reference=None):
+            diff = self._diff_arrays(data, reference if has_base else None)
+            return jnp.asarray(self._pipeline_stages(diff))
+
+        return jax.jit(pipeline)
+
     def __call__(self, img: Image) -> Image:
         """Extract concentration from a probe image."""
-        if not np.issubdtype(np.asarray(img.img).dtype, np.floating):
+        # dtype probing must not fetch device arrays to the host
+        # (img.img.dtype is metadata on both numpy and jax arrays).
+        if not np.issubdtype(img.img.dtype, np.floating):
             probe_img = copy.deepcopy(img).img_as(np.float32)
             warn("The input for concentration analysis needed to be converted.")
         else:
-            probe_img = copy.deepcopy(img)
+            probe_img = img  # stages are pure; no defensive deep copy
+
+        # Fused fast path (one compiled program per image), re-traced when
+        # any component parameter changed (calibration loops).
+        fused = getattr(self, "_fused", None)
+        if fused is not False and self.verbosity < 2:
+            fingerprint = self._pipeline_fingerprint()
+            if fingerprint != getattr(self, "_fused_fingerprint", None):
+                fused = None
+            try:
+                if fused is None:
+                    fused = self._fused = self._fused_pipeline()
+                    self._fused_fingerprint = fingerprint
+                data = jnp.asarray(probe_img.img, dtype=jnp.float32)
+                if self.base is None:
+                    concentration = fused(data)
+                else:
+                    concentration = fused(
+                        data, jnp.asarray(self.base.img, dtype=jnp.float32)
+                    )
+                return self._package(concentration, img)
+            except Exception:
+                logger.info(
+                    "Concentration pipeline not traceable; using the "
+                    "eager stage-by-stage path.",
+                    exc_info=self.verbosity > 0,
+                )
+                self._fused = False
 
         diff = self._subtract_background(probe_img)
         self._inspect(diff, title="Difference")
+        concentration = jnp.asarray(self._pipeline_stages(diff))
+        return self._package(concentration, img)
 
-        signal = self._reduce_signal(diff)
-        self._inspect(signal, title="Scalar signal")
-
-        clean_signal = self._clean_signal(signal)
-        self._inspect(clean_signal, title="Clean signal")
-
-        balanced_signal = self._balance_signal(clean_signal)
-        self._inspect(balanced_signal, title="Balanced signal")
-
-        if self.first_restoration_then_model:
-            smooth_signal = self._restore_signal(balanced_signal)
-            concentration = self._convert_signal(smooth_signal, diff)
-        else:
-            nonsmooth_concentration = self._convert_signal(balanced_signal, diff)
-            concentration = self._restore_signal(nonsmooth_concentration)
-
-        concentration = jnp.asarray(concentration)
+    def _package(self, concentration: jnp.ndarray, img: Image) -> Image:
         metadata = img.metadata()
         is_scalar = len(concentration.shape) == len(img.shape) - 1
         is_effectively_scalar = (
@@ -172,6 +269,11 @@ class ConcentrationAnalysis:
             reference = None
         else:
             reference = jnp.asarray(self.base.img, dtype=jnp.float32)
+        return self._diff_arrays(data, reference)
+
+    def _diff_arrays(
+        self, data: jnp.ndarray, reference: Optional[jnp.ndarray]
+    ) -> jnp.ndarray:
         if self._diff_option == "positive":
             diff = jnp.clip(data if reference is None else data - reference, 0, None)
         elif self._diff_option == "negative":

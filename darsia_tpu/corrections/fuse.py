@@ -128,25 +128,50 @@ class FusedCorrectionChain(BaseCorrection):
 
     # ------------------------------------------------------------- interface
 
-    def correct_array(self, img: jnp.ndarray) -> jnp.ndarray:
-        coords = self.field
-        if self._dynamic is not None:
-            t = self._dynamic.pullback_translation(img)
-            bound = float(
-                getattr(self._dynamic, "max_displacement", DEFAULT_DYNAMIC_DISP)
+    def _build_apply(self, dtype):
+        """ONE jitted program per input dtype: (drift estimate +) warp +
+        round/cast.  Eager per-op dispatch costs one host<->device
+        roundtrip PER OP on relayed TPU backends — the jitted whole-chain
+        program costs one."""
+        import jax
+
+        dynamic = self._dynamic
+        bound = (
+            None
+            if dynamic is None
+            else float(
+                getattr(dynamic, "max_displacement", DEFAULT_DYNAMIC_DISP)
             )
-            t = jnp.clip(t, -bound, bound)
-            coords = coords + t.reshape((-1,) + (1,) * len(self.out_shape))
-        dtype = img.dtype
-        out = warp_backend(
-            jnp.asarray(img).astype(jnp.float32),
-            coords,
-            order=1,
-            max_disp=self.max_disp,
         )
-        if jnp.issubdtype(dtype, jnp.integer):
-            out = jnp.round(out)
-        return out.astype(dtype)
+        ndim_out = len(self.out_shape)
+        max_disp = self.max_disp
+        integer = jnp.issubdtype(dtype, jnp.integer)
+
+        def apply(img, field):
+            coords = field
+            if dynamic is not None:
+                t = dynamic.pullback_translation(img)
+                t = jnp.clip(t, -bound, bound)
+                coords = coords + t.reshape((-1,) + (1,) * ndim_out)
+            out = warp_backend(
+                img.astype(jnp.float32), coords, order=1, max_disp=max_disp
+            )
+            if integer:
+                out = jnp.round(out)
+            return out.astype(dtype)
+
+        return jax.jit(apply)
+
+    def correct_array(self, img: jnp.ndarray) -> jnp.ndarray:
+        img = jnp.asarray(img)
+        cache = getattr(self, "_apply_cache", None)
+        if cache is None:
+            cache = self._apply_cache = {}
+        key = jnp.dtype(img.dtype).name
+        apply = cache.get(key)
+        if apply is None:
+            apply = cache[key] = self._build_apply(img.dtype)
+        return apply(img, self.field)
 
     def correct_metadata(self, metadata: Optional[dict] = None) -> dict:
         return dict(self._meta)

@@ -103,6 +103,7 @@ def _worker(
     preview_queue,
     jax_platform: Optional[str] = None,
     jax_cache_dir: Optional[str] = None,
+    step_kwargs: Optional[dict] = None,
 ) -> None:
     """Worker entry point: run one step, forward logs/progress/previews.
 
@@ -183,6 +184,11 @@ def _worker(
                 kwargs["progress_callback"] = progress_callback
             if "stream_callback" in signature.parameters:
                 kwargs["stream_callback"] = stream_callback
+            # Validated per-step form options (gui_support.step_parameters)
+            # forward to matching keyword parameters.
+            for name, value in (step_kwargs or {}).items():
+                if name in signature.parameters:
+                    kwargs[name] = value
             function(ctx, **kwargs)
         else:
             function(Path(config_path))
@@ -324,11 +330,18 @@ class GuiSession:
     def steps(self) -> list:
         return list(STEP_REGISTRY)
 
+    def step_parameters(self, step: str):
+        """Form fields for a step (per-step parameter forms)."""
+        from .gui_support import step_parameters
+
+        return step_parameters(step)
+
     def start_step(
         self,
         step: str,
         config_path=None,
         all_images: Optional[bool] = None,
+        options: Optional[dict] = None,
     ) -> WorkerHandle:
         if step not in STEP_REGISTRY:
             raise KeyError(f"Unknown step {step!r}; known: {self.steps}")
@@ -336,6 +349,14 @@ class GuiSession:
         if not config:
             raise ValueError("No config selected.")
         module_name, function_name, kind = STEP_REGISTRY[step]
+        from .gui_support import validate_options
+
+        validated = validate_options(step, options)
+        if all_images is None and options is not None and "all_images" in options:
+            all_images = validated["all_images"]
+        step_kwargs = {
+            k: v for k, v in validated.items() if k != "all_images"
+        }
         all_flag = (
             self.state.get("all_images", False)
             if all_images is None
@@ -368,7 +389,7 @@ class GuiSession:
             args=(
                 module_name, function_name, kind, config, all_flag,
                 log_queue, progress_queue, preview_queue, jax_platform,
-                jax_cache_dir,
+                jax_cache_dir, step_kwargs,
             ),
             daemon=True,
         )
@@ -445,16 +466,56 @@ def launch_gui(config_path=None) -> None:
     )
     tk.Checkbutton(top, text="all images", variable=all_var).pack(side="right")
 
-    # Step buttons grouped by category.
+    # Step buttons grouped by category + per-step parameter form.
+    from .gui_support import BatchMonitor, PreviewStore, step_parameters
+
     buttons = tk.Frame(root)
     buttons.pack(fill="x")
+    form_frame = tk.LabelFrame(root, text="Step options")
+    form_frame.pack(fill="x")
+    form_vars: dict = {}
+    selected_step = tk.StringVar(value="")
+
+    def build_form(step: str) -> None:
+        """Render the step's parameter form (gui_support registry)."""
+        for child in form_frame.winfo_children():
+            child.destroy()
+        form_vars.clear()
+        selected_step.set(step)
+        for col, spec in enumerate(step_parameters(step)):
+            if spec.type == "bool":
+                var = tk.BooleanVar(value=bool(spec.default))
+                tk.Checkbutton(
+                    form_frame, text=spec.label, variable=var
+                ).grid(row=0, column=col, sticky="w")
+            else:
+                var = tk.StringVar(
+                    value="" if spec.default is None else str(spec.default)
+                )
+                tk.Label(form_frame, text=spec.label).grid(
+                    row=0, column=2 * col, sticky="w"
+                )
+                tk.Entry(form_frame, textvariable=var, width=12).grid(
+                    row=0, column=2 * col + 1, sticky="w"
+                )
+            form_vars[spec.name] = var
+
     progress = ttk.Progressbar(root, maximum=1.0)
     progress.pack(fill="x")
     status_var = tk.StringVar(value="idle")
     tk.Label(root, textvariable=status_var, anchor="w").pack(fill="x")
+    monitor = BatchMonitor()
+    previews = PreviewStore()
 
     log_box = scrolledtext.ScrolledText(root, width=110, height=20)
     log_box.pack(fill="both", expand=True)
+    preview_bar = tk.Frame(root)
+    preview_bar.pack(fill="x")
+    preview_key = tk.StringVar(value="")
+    preview_menu = ttk.Combobox(
+        preview_bar, textvariable=preview_key, state="readonly", width=40
+    )
+    preview_menu.pack(side="left")
     preview_label = tk.Label(root)
     preview_label.pack()
     preview_ref = {"image": None}
@@ -465,27 +526,42 @@ def launch_gui(config_path=None) -> None:
 
     def on_progress(event) -> None:
         if isinstance(event, dict):
-            total = event.get("image_total") or 0
-            index = event.get("image_index") or 0
-            if total:
-                progress["value"] = index / total
-            status_var.set(
-                f"{event.get('step', '')}: {index}/{total} "
-                f"({event.get('event', '')})"
-            )
+            monitor.update(event)
+            progress["value"] = monitor.percent() / 100.0
+            status_var.set(monitor.text())
 
-    def on_preview(images: dict) -> None:
+    def render_preview() -> None:
         try:
+            key = preview_key.get()
+            if key and key in previews.keys():
+                previews.select(key)
+            arr = previews.as_display()
+            if arr is None:
+                return
             import tkinter as tk  # noqa: F811
 
-            for _name, payload in images.items():
-                if isinstance(payload, (bytes, bytearray)):
-                    photo = tk.PhotoImage(data=payload)
-                    preview_label.configure(image=photo)
-                    preview_ref["image"] = photo
-                break
+            height, width = arr.shape[:2]
+            photo = tk.PhotoImage(width=width, height=height)
+            rows = "{" + "} {".join(
+                " ".join(
+                    f"#{r:02x}{g:02x}{b:02x}" for r, g, b in row
+                )
+                for row in arr
+            ) + "}"
+            photo.put(rows)
+            preview_label.configure(image=photo)
+            preview_ref["image"] = photo
         except Exception:
             pass
+
+    def on_preview(images: dict) -> None:
+        previews.update(images)
+        preview_menu["values"] = previews.keys()
+        if not preview_key.get() and previews.selected:
+            preview_key.set(previews.selected)
+        render_preview()
+
+    preview_menu.bind("<<ComboboxSelected>>", lambda _e: render_preview())
 
     def poll() -> None:
         for handle in list(session.workers):
@@ -501,16 +577,28 @@ def launch_gui(config_path=None) -> None:
 
     def start(step: str) -> None:
         session.state["all_images"] = bool(all_var.get())
+        options = {"all_images": bool(all_var.get())}
+        if selected_step.get() == step:
+            for name, var in form_vars.items():
+                options[name] = var.get()
         try:
-            handle = session.start_step(step, config_var.get() or None)
+            handle = session.start_step(
+                step, config_var.get() or None, options=options
+            )
         except (KeyError, ValueError) as exc:
             log(str(exc))
             return
         log(f"Started {step} (pid {handle.process.pid}).")
 
+    def select_and_start(step: str) -> None:
+        if selected_step.get() != step:
+            build_form(step)  # first click shows the form
+            return
+        start(step)
+
     for i, step in enumerate(STEP_REGISTRY):
         tk.Button(
-            buttons, text=step, command=lambda s=step: start(s)
+            buttons, text=step, command=lambda s=step: select_and_start(s)
         ).grid(row=i // 5, column=i % 5, sticky="ew")
 
     poll()

@@ -149,3 +149,103 @@ def test_worker_stop_terminates(tmp_path):
         _time.sleep(0.2)
     assert not handle.alive()
     session.stop_all()
+
+
+def test_step_parameter_forms():
+    """Per-step parameter forms: registry, coercion, validation
+    (reference per-step option checkboxes, user_interface_gui.py:1005+)."""
+    from darsia_tpu.presets.workflows.gui_support import (
+        step_parameters,
+        validate_options,
+    )
+
+    common = step_parameters("analysis: mass")
+    assert [p.name for p in common] == ["all_images"]
+    fingers = step_parameters("analysis: fingers")
+    assert {p.name for p in fingers} == {"all_images", "write_plots"}
+
+    out = validate_options("analysis: fingers", {"write_plots": "false"})
+    assert out == {"all_images": False, "write_plots": False}
+    out = validate_options("analysis: fingers", {"all_images": 1})
+    assert out["all_images"] is True and out["write_plots"] is True
+    import pytest
+
+    with pytest.raises(KeyError, match="bogus"):
+        validate_options("analysis: mass", {"bogus": 1})
+
+
+def test_batch_monitor_eta():
+    from darsia_tpu.presets.workflows.gui_support import (
+        BatchMonitor,
+        format_duration,
+    )
+
+    monitor = BatchMonitor(window=3)
+    assert monitor.text() == "idle"
+    monitor.update({"event": "step_start", "step": "mass", "image_total": 10})
+    # First image compile-dominated; later ones steady.
+    for index, duration in enumerate([30.0, 2.0, 2.0, 2.0], start=1):
+        monitor.update(
+            {
+                "event": "image_progress",
+                "image_index": index,
+                "image_total": 10,
+                "image_duration_s": duration,
+            }
+        )
+    assert monitor.processed == 4 and monitor.percent() == 40.0
+    # Rolling window drops the compile outlier.
+    assert monitor.average_runtime() == 2.0
+    assert monitor.eta_seconds() == 12.0
+    assert "ETA 00:00:12" in monitor.text() and "40%" in monitor.text()
+    monitor.update({"event": "step_complete"})
+    assert "done" in monitor.text()
+    assert format_duration(3725) == "01:02:05"
+    assert format_duration(None) == "--:--:--"
+
+
+def test_preview_store_display():
+    import numpy as np
+
+    from darsia_tpu.presets.workflows.gui_support import PreviewStore
+
+    store = PreviewStore()
+    assert store.as_display() is None
+    big = np.linspace(0, 1, 1000 * 600).reshape(1000, 600).astype(np.float32)
+    store.update({"segmentation": big, "mass": np.ones((8, 8, 3))})
+    assert store.keys() == ["segmentation", "mass"]
+    assert store.selected == "segmentation"
+    arr = store.as_display(max_size=480)
+    assert arr.dtype == np.uint8 and arr.shape[-1] == 3
+    assert max(arr.shape[:2]) <= 500
+    store.select("mass")
+    assert store.as_display().shape == (8, 8, 3)
+
+
+def test_completion_dialog_spec():
+    from darsia_tpu.presets.workflows.gui_support import completion_dialog
+
+    done = completion_dialog("analysis: mass", failed=False, elapsed_s=65,
+                            results_folder="/tmp/results")
+    assert done["title"] == "Workflow finished"
+    assert "00:01:05" in done["message"]
+    assert "Open results folder" in done["buttons"]
+    err = completion_dialog("analysis: mass", failed=True,
+                            error="Boom\ntraceback...")
+    assert err["title"] == "Workflow failed"
+    assert "Boom" in err["message"] and "Show details" in err["buttons"]
+
+
+def test_start_step_rejects_unknown_option(tmp_path):
+    from darsia_tpu.presets.workflows.user_interface_gui import GuiSession
+
+    session = GuiSession(cache_path=tmp_path / "cache.json")
+    session.set_config(tmp_path / "missing.toml")
+    import pytest
+
+    with pytest.raises(KeyError, match="bogus"):
+        session.start_step("analysis: mass", options={"bogus": True})
+    assert [p.name for p in session.step_parameters("analysis: fingers")] == [
+        "all_images",
+        "write_plots",
+    ]

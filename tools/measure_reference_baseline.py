@@ -70,7 +70,14 @@ def _split_square_problem(module, n: int):
             "resize interpolation": "inter_nearest",
         }
     )
-    return resize(src_img), resize(dst_img)
+    src_img, dst_img = resize(src_img), resize(dst_img)
+    # Re-normalize masses: nearest refinement to a non-2^k multiple of the
+    # base grid replicates cells unevenly, and the solvers assert equal
+    # masses up to a tight tolerance.
+    geometry = module.Geometry(**src_img.shape_metadata())
+    src_img.img = np.asarray(src_img.img) / float(geometry.integrate(src_img))
+    dst_img.img = np.asarray(dst_img.img) / float(geometry.integrate(dst_img))
+    return src_img, dst_img
 
 
 def measure_ref_w1(ref, n: int) -> dict:
