@@ -23,12 +23,26 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["AnalysisBase"]
 
+#: Correction pipeline in application order.  Each entry: (attribute,
+#: config section, factory).  Baseline-anchored corrections (drift,
+#: deformation) receive the baseline read with all corrections built SO
+#: FAR — hence assembly happens stage by stage below.
+_PIPELINE = (
+    ("drift_correction", "drift", "baseline"),
+    ("deformation_correction", "deformation", "baseline"),
+    ("color_correction", "color", "plain"),
+    ("translation_correction", "translation", "translation"),
+    ("curvature_correction", "curvature", "plain"),
+)
+
 
 class AnalysisBase:
     """Standard time-series analysis setup from a JSON config.
 
-    Builds drift/deformation/color/translation/curvature corrections in the
-    fixed reference order and applies them on every read.
+    The correction chain (drift -> deformation -> color -> translation ->
+    curvature, matching the reference pipeline order) is assembled from the
+    config's sections and applied on every read; runs of geometric
+    corrections fuse into one warp inside :func:`imread`.
     """
 
     def __init__(
@@ -37,73 +51,65 @@ class AnalysisBase:
         config: Union[str, Path],
         update_setup: bool = False,
     ) -> None:
-        with open(config, "r") as f:
-            self.config = json.load(f)
+        self.config = json.loads(Path(config).read_text())
 
-        if (
-            "physical_asset" in self.config
-            and "dimensions" in self.config["physical_asset"]
-        ):
-            self.width = self.config["physical_asset"]["dimensions"]["width"]
-            self.height = self.config["physical_asset"]["dimensions"]["height"]
-            self.origin = [0.0, self.height]
-        else:
-            raise ValueError("Dimensions and origin not specified.")
+        dims = self.config.get("physical_asset", {}).get("dimensions")
+        if dims is None:
+            raise ValueError(
+                "Config lacks physical_asset.dimensions (width/height)."
+            )
+        self.width = dims["width"]
+        self.height = dims["height"]
+        self.origin = [0.0, self.height]
 
-        reference_date_str = self.config.get("reference_date", None)
+        stamp = self.config.get("reference_date")
         self.reference_date: Optional[datetime] = (
-            None
-            if reference_date_str is None
-            else datetime.strptime(reference_date_str, "%Y-%m-%d %H:%M:%S")
+            datetime.strptime(stamp, "%Y-%m-%d %H:%M:%S") if stamp else None
         )
 
-        reference_base = baseline[0] if isinstance(baseline, list) else baseline
+        anchor = baseline[0] if isinstance(baseline, list) else baseline
         self.processed_baseline_images = None
         self.verbosity = self.config.get("verbosity", False)
 
-        self.drift_correction = None
-        self.deformation_correction = None
-        self.color_correction = None
-        self.translation_correction = None
-        self.curvature_correction = None
+        for attribute, _section, _kind in _PIPELINE:
+            setattr(self, attribute, None)
 
-        # The corrections reference the *uncorrected* baseline since they
-        # are applied before curvature correction (reference order).
-        self.uncorrected_base = self._read(reference_base)
+        # Stage-wise assembly: each baseline-anchored correction is built
+        # against the baseline as corrected by the stages before it.
+        self.uncorrected_base = self._read(anchor)
+        for attribute, section, kind in _PIPELINE:
+            if section not in self.config:
+                continue
+            section_config = self.config[section]
+            if kind == "baseline":
+                correction = {
+                    "drift": DriftCorrection,
+                    "deformation": DeformationCorrection,
+                }[section](base=self._read(anchor), config=section_config)
+            elif kind == "translation":
+                correction = TranslationCorrection(translation=section_config)
+            else:
+                factory = {
+                    "color": ColorCorrection,
+                    "curvature": CurvatureCorrection,
+                }[section]
+                correction = factory(config=section_config)
+            setattr(self, attribute, correction)
+            if section == "drift":
+                # Kept for subclasses that re-anchor on the drift-aligned
+                # baseline (reference attribute).
+                self.drift_corrected_base = self._read(anchor)
+        if not hasattr(self, "drift_corrected_base"):
+            self.drift_corrected_base = self.uncorrected_base
 
-        if "drift" in self.config:
-            self.drift_correction = DriftCorrection(
-                base=self.uncorrected_base, config=self.config["drift"]
-            )
-        self.drift_corrected_base = self._read(reference_base)
-        if "deformation" in self.config:
-            self.deformation_correction = DeformationCorrection(
-                base=self.drift_corrected_base, config=self.config["deformation"]
-            )
-        if "color" in self.config:
-            self.color_correction = ColorCorrection(config=self.config["color"])
-        if "translation" in self.config:
-            self.translation_correction = TranslationCorrection(
-                translation=self.config["translation"]
-            )
-        if "curvature" in self.config:
-            self.curvature_correction = CurvatureCorrection(
-                config=self.config["curvature"]
-            )
-
-        self.base = self._read(reference_base)
+        self.base = self._read(anchor)
 
     def _read(self, path):
-        """Read an image applying the full correction chain."""
+        """Read one image through the currently assembled chain."""
+        chain = [getattr(self, attribute) for attribute, _s, _k in _PIPELINE]
         return imread(
             path,
-            transformations=[
-                self.drift_correction,
-                self.deformation_correction,
-                self.color_correction,
-                self.translation_correction,
-                self.curvature_correction,
-            ],
+            transformations=chain,
             width=self.width,
             height=self.height,
             origin=self.origin,
@@ -115,20 +121,21 @@ class AnalysisBase:
         return self.img
 
     def single_image_analysis(self, img, **kwargs):
-        raise NotImplementedError("Has to be implemented for each special case.")
+        raise NotImplementedError(
+            "Subclasses define the per-image analysis."
+        )
 
     def batch_analysis(self, images, **kwargs) -> None:
-        """Run single_image_analysis over a batch of paths."""
-        if not isinstance(images, list):
-            images = [images]
-        for img in images:
+        """Best-effort single_image_analysis over a batch of paths."""
+        batch = images if isinstance(images, list) else [images]
+        for item in batch:
             tic = time.time()
             try:
-                self.single_image_analysis(img, **kwargs)
-            except Exception as exc:  # best-effort batch semantics
-                logger.error("Analysis of %s failed: %s", img, exc)
+                self.single_image_analysis(item, **kwargs)
+            except Exception as exc:  # keep going; report per item
+                logger.error("Analysis of %s failed: %s", item, exc)
                 continue
             if self.verbosity:
                 logger.info(
-                    "Elapsed time for %s: %.2f s", Path(img).name, time.time() - tic
+                    "Analyzed %s in %.2f s", Path(item).name, time.time() - tic
                 )
