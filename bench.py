@@ -144,7 +144,7 @@ def measure_public_api(base_u8: np.ndarray) -> dict:
     }
 
 
-def measure_public_api_guarded(timeout: int = 560) -> dict:
+def measure_public_api_guarded(timeout: int = 840) -> dict:
     """Run :func:`measure_public_api` in a subprocess with a hard timeout.
 
     The tunneled TPU backend occasionally hangs on fresh XLA compiles; a

@@ -281,9 +281,14 @@ class Image:
         return type(self)(img=self.img, **self.metadata())
 
     def astype(self, data_type) -> "Image":
-        """Return copy with data cast (and rescaled) to ``data_type``."""
+        """Return copy with data cast (and rescaled) to ``data_type``.
+
+        The conversion stays on device (``convert_dtype`` handles jax
+        arrays) — routing through numpy would download+re-upload the full
+        image per call, the dominant per-image cost on relayed backends.
+        """
         copy_image = self.copy()
-        copy_image.img = convert_dtype(self.as_numpy(), data_type)
+        copy_image.img = convert_dtype(self.img, data_type)
         return copy_image
 
     def img_as(self, data_type) -> "Image":
