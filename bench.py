@@ -592,7 +592,9 @@ def main() -> None:
             _ = float(out[0, 0])
         print(f"# jax.profiler trace written to {trace_dir}", file=sys.stderr)
 
-    reps = 10
+    # 50 reps (~0.8 s of device work) amortize the relayed backend's
+    # per-call RPC jitter, which bounced the 10-rep number by ±7%.
+    reps = 50
     tic = time.perf_counter()
     for _ in range(reps):
         out = step_jit(probe_dev, base_spectra, base_corrected)
