@@ -89,6 +89,22 @@ STEP_REGISTRY = {
         "darsia_tpu.presets.workflows.comparison",
         "comparison_wasserstein", "config",
     ),
+    "helper: color report": (
+        "darsia_tpu.presets.workflows.helper.helper_color",
+        "helper_color", "config",
+    ),
+    "helper: roi overview": (
+        "darsia_tpu.presets.workflows.helper.helper_roi",
+        "helper_roi_viewer", "config",
+    ),
+    "utils: media": (
+        "darsia_tpu.presets.workflows.utils.utils_media",
+        "build_media", "config",
+    ),
+    "utils: export calibration bundle": (
+        "darsia_tpu.presets.workflows.utils.calibration_bundle",
+        "export_calibration_bundle", "config",
+    ),
 }
 
 

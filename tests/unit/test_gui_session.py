@@ -19,7 +19,10 @@ from darsia_tpu.presets.workflows.user_interface_gui import (
 
 def test_registry_covers_all_workflow_families():
     families = {step.split(":")[0] for step in STEP_REGISTRY}
-    assert families == {"setup", "calibration", "analysis", "comparison"}
+    # All six reference GUI tab families (user_interface_gui.py:1029-1204).
+    assert families == {
+        "setup", "calibration", "analysis", "comparison", "helper", "utils",
+    }
     # Every analysis step from the CLI front-end is launchable.
     analysis = {s for s in STEP_REGISTRY if s.startswith("analysis:")}
     assert {
