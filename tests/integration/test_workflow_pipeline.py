@@ -350,3 +350,62 @@ def test_fingers_step(workspace, context):
     assert plots, "expected per-ROI path plots"
     rates = list((results / "fingers" / "paths").rglob("*advance_rates.csv"))
     assert rates, "expected advance-rate export"
+
+
+def test_fingers_step_gradient_interface(workspace, context, tmp_path):
+    """Gradient-based interface analysis: lower-arc extraction, interface
+    folders + .npy physical exports + interface CSV columns
+    (ref analysis_fingers.py:150-160, 280-510)."""
+    import json
+
+    import pandas as pd
+
+    from darsia_tpu.presets.workflows.analysis import (
+        analysis_fingers_from_context,
+    )
+    from darsia_tpu.presets.workflows.config.fingers import FingersConfig
+
+    _, results = workspace
+    # Clone the context's fingers config with gradient analysis enabled
+    # and a dedicated output folder.
+    entry = FingersConfig().load(
+        {
+            "mode": "saturation_g",
+            "threshold": 0.5,
+            "include_gradient_based_analysis": True,
+            "gradient_mode": "saturation_g",
+        }
+    )
+    original = context.config.analysis.fingers
+    folder = tmp_path / "fingers_gradient"
+
+    class _Holder:
+        pass
+
+    holder = _Holder()
+    holder.config = entry
+    holder.folder = folder
+    context.config.analysis.fingers = holder
+    try:
+        analysis_fingers_from_context(context)
+    finally:
+        context.config.analysis.fingers = original
+
+    for sub in ("interface", "interface-contour", "interface-contour-npy",
+                "interface-paths"):
+        assert (folder / sub).exists(), f"missing {sub}/"
+    npys = list((folder / "interface-contour-npy").rglob("*.npy"))
+    assert len(npys) >= 4
+    import numpy as np
+
+    arcs = np.load(npys[-1], allow_pickle=True)
+    if len(arcs):
+        arc = np.asarray(arcs[0])
+        assert arc.ndim == 2 and arc.shape[1] == 2  # physical (x, y)
+    stats = pd.read_csv(folder / "statistics.csv")
+    assert {"number_interface_fingers", "number_new_interface_fingers"} <= set(
+        stats.columns
+    )
+    with open(folder / "statistics.json") as f:
+        pstats = json.load(f)
+    assert "interface_paths" in pstats
