@@ -2,7 +2,7 @@
 
 from .mesh import create_mesh, batch_sharding
 from .halo import halo_exchange, halo_exchange_2d
-from .pipeline import sharded_analysis_step, sharded_tvd
+from .pipeline import sharded_analysis_step, sharded_tvd, sharded_tvd_2d
 from .tpfa import sharded_tpfa_cg
 from .warp import sharded_warp
 from .wasserstein import batched_wasserstein, sharded_wasserstein_batch

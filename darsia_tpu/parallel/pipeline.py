@@ -20,9 +20,9 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec
 from jax import shard_map
 
-from .halo import halo_exchange
+from .halo import halo_exchange, halo_exchange_2d
 
-__all__ = ["sharded_tvd", "sharded_analysis_step"]
+__all__ = ["sharded_tvd", "sharded_tvd_2d", "sharded_analysis_step"]
 
 
 def _laplacian5(x: jnp.ndarray) -> jnp.ndarray:
@@ -64,6 +64,57 @@ def _local_smooth_sweeps(
         return x_new
 
     return lax.fori_loop(0, iters, sweep, x0)
+
+
+def _local_smooth_sweeps_2d(
+    x0: jnp.ndarray,
+    signal: jnp.ndarray,
+    mu: float,
+    omega: float,
+    iters: int,
+    row_axis: str,
+    col_axis: str,
+) -> jnp.ndarray:
+    """2-D-decomposed damped-Jacobi sweeps: corner-correct halos from both
+    mesh axes refresh before every stencil application."""
+    ell = 2.0 * mu
+    diag = omega + ell * 4.0
+    halo = 1
+
+    def sweep(_, x):
+        x_ext = halo_exchange_2d(x, halo, row_axis, col_axis)
+        s_ext = halo_exchange_2d(signal, halo, row_axis, col_axis)
+        residual = omega * s_ext - (omega * x_ext - ell * _laplacian5(x_ext))
+        x_new = x_ext + 0.8 * residual / diag
+        return x_new[halo:-halo, halo:-halo]
+
+    return lax.fori_loop(0, iters, sweep, x0)
+
+
+def sharded_tvd_2d(
+    mesh: Mesh,
+    mu: float = 0.1,
+    omega: float = 1.0,
+    iters: int = 10,
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+):
+    """Single-image smoother over a 2-D (rows, cols) space mesh.
+
+    The full 2-D domain decomposition of one large image: each device owns
+    an (H/pr, W/pc) tile, halos (incl. corners) ride ICI per sweep.
+    Returns a jitted ``(H, W) -> (H, W)`` callable.
+    """
+    spec = PartitionSpec(row_axis, col_axis)
+
+    def per_shard(img_local: jnp.ndarray) -> jnp.ndarray:
+        return _local_smooth_sweeps_2d(
+            img_local, img_local, mu, omega, iters, row_axis, col_axis
+        )
+
+    return jax.jit(
+        shard_map(per_shard, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    )
 
 
 def sharded_tvd(mesh: Mesh, mu: float = 0.1, omega: float = 1.0, iters: int = 10):

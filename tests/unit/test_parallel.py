@@ -266,3 +266,21 @@ def test_sharded_warp_matches_single_device(mesh_shape, channels):
     out = np.asarray(apply_fn(img_sh, coords_sh))
 
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_sharded_tvd_2d_matches_unsharded(mesh_shape):
+    """Full 2-D domain decomposition of the smoother == single device."""
+    _require_mesh()
+    from darsia_tpu.parallel import sharded_tvd_2d
+
+    pr, pc = mesh_shape
+    H, W = 16 * pr, 12 * pc
+    rng = np.random.default_rng(17)
+    img = jnp.asarray(rng.random((H, W)), jnp.float32)
+    mesh = create_mesh(mesh_shape, ("rows", "cols"), devices=jax.devices()[:8])
+    out = np.asarray(sharded_tvd_2d(mesh, mu=0.15, iters=6)(img))
+    ref = np.asarray(
+        _local_smooth_sweeps(img, img, 0.15, 1.0, 6, axis_name=None)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
