@@ -214,12 +214,22 @@ def measure_wasserstein() -> dict:
     # num_iter is a safety cap, NOT the budget: the fused while_loop exits
     # early at the tolerances, and the row reports seconds + iterations AT
     # CONVERGENCE (VERDICT r2 weak #3 — no fixed-budget throughput metric).
+    # Convergence gates on flux increment + distance increment, matching the
+    # reference's production criteria (comparison_wasserstein.py:209-211
+    # leaves tol_residual unset; its flagship example sets it to 1e-10,
+    # which with the AND-semantics never fires either).  The Newton residual
+    # measures the *regularized* optimality system and plateaus in f32 once
+    # the distance has converged, so it is reported (final relative value)
+    # rather than gated on.
+    # Anderson(5) runs INSIDE the fused while_loop (ring-buffer history +
+    # ridge-QR mixing in the carry) — ~4x fewer Newton iterations at the
+    # same distance; the reference exposes the same aa_depth option.
     options = {
         "num_iter": 500,
         "L": 1e9,
-        "tol_residual": 1e-3,
-        "tol_increment": 1e-3,
-        "tol_distance": 1e-3,
+        "tol_increment": 1e-4,
+        "tol_distance": 1e-4,
+        "aa_depth": 5,
     }
     solver = BeckmannNewtonSolver(generate_grid(dst_img), weight, options)
     import jax.numpy as jnp
@@ -232,11 +242,16 @@ def measure_wasserstein() -> dict:
     tic = time.perf_counter()
     distance, _, _, info = solver.solve_beckmann_problem(mass_diff)
     elapsed = time.perf_counter() - tic
+    hist = info.get("convergence_history", {})
+    res = hist.get("residual", [])
+    rel_res = float(res[-1]) / max(float(res[0]), 1e-30) if res else float("nan")
     return {
         "w1_newton_512_weighted_s": round(elapsed, 3),
         "w1_newton_512_iterations": int(info["number_iterations"]) + 1,
         "w1_newton_512_distance": round(float(distance), 6),
         "w1_newton_512_converged": bool(info.get("converged", False)),
+        "w1_newton_512_final_rel_residual": round(rel_res, 4),
+        "w1_newton_512_aa_depth": 5,
     }
 
 

@@ -233,9 +233,13 @@ class BeckmannProblem:
         # Anderson acceleration on the flux.
         aa_depth = options.get("aa_depth", 0)
         aa_restart = options.get("aa_restart", None)
+        self.aa_depth = int(aa_depth)
+        self.aa_restart = aa_restart
+        # Lazy dimension (reference beckmann_problem.py:381): Newton mixes
+        # the flat flux (num_faces), Bregman the [aux, force] pair (2x).
         self.anderson = (
             AndersonAcceleration(
-                dimension=int(grid.num_faces), depth=aa_depth, restart=aa_restart
+                dimension=None, depth=aa_depth, restart=aa_restart
             )
             if aa_depth > 0
             else None
@@ -318,6 +322,19 @@ class BeckmannProblem:
 
     def flat_flux(self, fluxes: tuple) -> np.ndarray:
         return self.grid.flat_flux([np.asarray(f) for f in fluxes])
+
+    def _flatten_fluxes(self, fluxes: tuple) -> jnp.ndarray:
+        """Traceable flat view of the per-axis face arrays (C-order; the
+        Anderson mixing is invariant to the fixed flattening order)."""
+        return jnp.concatenate([f.reshape(-1) for f in fluxes])
+
+    def _unflatten_fluxes(self, flat: jnp.ndarray) -> tuple:
+        out, off = [], 0
+        for d in range(self.dim):
+            size = int(np.prod(self.grid.faces_shape[d]))
+            out.append(flat[off : off + size].reshape(self.grid.faces_shape[d]))
+            off += size
+        return tuple(out)
 
     def transport_density(self, fluxes: tuple, weighted: bool = True) -> jnp.ndarray:
         return self._td_weighted(fluxes) if weighted else self._td_unweighted(fluxes)
@@ -751,24 +768,88 @@ class BeckmannNewtonSolver(BeckmannProblem):
         jitted = self._fused_step_cache
         return lambda fluxes, p: jitted(fluxes, p, mass_rhs)
 
-    def _solve_on_device(self, mass_rhs, fluxes, p, distance, history):
-        """Run the fully fused Newton solve and unpack history/info."""
-        if getattr(self, "_fused_solve_cache", None) is None:
-            inner = self._fused_step_fn()
+    def _fused_step_fn_aa(self):
+        """Traceable Newton iteration with in-loop Anderson mixing on the
+        flux iterate (host-loop parity: the raw flux update is the
+        fixed-point application; metrics are evaluated on the MIXED
+        fluxes, the residual against the pre-update face weights)."""
+        from ..utils.andersonacceleration import anderson_mix
 
-            def newton_step(state, rhs):
-                fluxes, p = state
-                fluxes_new, p_new, metrics = inner(fluxes, p, rhs)
-                return (fluxes_new, p_new), metrics
+        restart = self.aa_restart
+
+        def step(fluxes, p, aa_state, mass_rhs):
+            face_weights = self._cell_based_face_weights(fluxes)
+            p_new = self.pressure_solve(
+                face_weights, mass_rhs, jnp.zeros_like(p)
+            )
+            fluxes_raw = self.flux_from_pressure(face_weights, p_new)
+            gk = self._flatten_fluxes(fluxes_raw)
+            fk = gk - self._flatten_fluxes(fluxes)
+            aa_state, mixed = anderson_mix(aa_state, gk, fk, restart=restart)
+            fluxes_new = self._unflatten_fluxes(mixed)
+            distance = self._l1_weighted(fluxes_new)
+            inc_sq = sum(
+                jnp.sum((fluxes_new[d] - fluxes[d]) ** 2)
+                for d in range(self.dim)
+            )
+            norm_sq = sum(jnp.sum(fluxes_new[d] ** 2) for d in range(self.dim))
+            residual = self._residual(
+                fluxes_new,
+                p_new,
+                face_weights,
+                mass_rhs,
+                jnp.maximum(distance, 1e-30),
+            )
+            metrics = jnp.stack([distance, inc_sq, norm_sq, residual])
+            return fluxes_new, p_new, aa_state, metrics
+
+        return step
+
+    def _solve_on_device(self, mass_rhs, fluxes, p, distance, history):
+        """Run the fully fused Newton solve and unpack history/info.
+
+        With ``aa_depth > 0`` the Anderson mixing runs INSIDE the fused
+        ``while_loop`` (static-shape ring buffers in the carry) — the
+        acceleration no longer forces the per-iteration host loop.
+        """
+        from ..utils.andersonacceleration import anderson_init
+
+        use_aa = self.aa_depth > 0
+        if getattr(self, "_fused_solve_cache", None) is None:
+            if use_aa:
+                inner = self._fused_step_fn_aa()
+
+                def newton_step(state, rhs):
+                    fluxes, p, aa_state = state
+                    fluxes_new, p_new, aa_new, metrics = inner(
+                        fluxes, p, aa_state, rhs
+                    )
+                    return (fluxes_new, p_new, aa_new), metrics
+
+            else:
+                inner = self._fused_step_fn()
+
+                def newton_step(state, rhs):
+                    fluxes, p = state
+                    fluxes_new, p_new, metrics = inner(fluxes, p, rhs)
+                    return (fluxes_new, p_new), metrics
 
             self._fused_solve_cache = self._build_fused_outer(newton_step)
         fused_solve = self._fused_solve_cache
 
+        state0 = (tuple(fluxes), p)
+        if use_aa:
+            aa0 = anderson_init(
+                sum(int(np.prod(self.grid.faces_shape[d])) for d in range(self.dim)),
+                self.aa_depth,
+                dtype=self.dtype,
+            )
+            state0 = (tuple(fluxes), p, aa0)
         outputs, timings = self._timed_fused_call(
-            fused_solve, (tuple(fluxes), p), distance, mass_rhs, 0.0
+            fused_solve, state0, distance, mass_rhs, 0.0
         )
         state, dist, k, status_code, buf = outputs
-        fluxes, p = state
+        fluxes, p = state[0], state[1]
         distance, status, k = self._record_fused_history(
             history, dist, k, status_code, buf, timings["solve"]
         )
@@ -797,7 +878,10 @@ class BeckmannNewtonSolver(BeckmannProblem):
         p = self.pressure_solve(face_weights, mass_rhs, p)
         fluxes = self.flux_from_pressure(face_weights, p)
 
-        fusable = self.anderson is None and self._traceable_mobility()
+        traceable = self._traceable_mobility()
+        # The host per-iteration loop applies Anderson eagerly; the device
+        # loop runs it inside the fused while_loop (_fused_step_fn_aa).
+        fusable = self.anderson is None and traceable
 
         history = BeckmannConvergenceHistory()
         distance = self.l1_dissipation(fluxes)
@@ -805,7 +889,7 @@ class BeckmannNewtonSolver(BeckmannProblem):
         # Whole-solve device loop: no per-iteration host roundtrips.  Falls
         # back to the host loop when per-iteration host work is requested
         # (callbacks, verbose printing) or the step is not traceable.
-        if fusable and self.callbacks is None and not self.verbose:
+        if traceable and self.callbacks is None and not self.verbose:
             return self._solve_on_device(mass_rhs, fluxes, p, distance, history)
 
         fused_step = self._build_fused_step(mass_rhs) if fusable else None
@@ -1036,16 +1120,55 @@ class BeckmannBregmanSolver(BeckmannProblem):
         self, mass_rhs, fluxes, p, d_aux, b_aux, distance,
         scaled_weights, thresholds, history,
     ):
-        """Run the fully fused Bregman solve and unpack history/info."""
+        """Run the fully fused Bregman solve and unpack history/info.
+
+        With ``aa_depth > 0`` Anderson mixes the concatenated
+        ``[aux_flux, force]`` pair inside the fused while_loop — the same
+        placement as the reference's host-loop acceleration
+        (``beckmann_bregman_solver.py:267-281``).
+        """
+        from ..utils.andersonacceleration import anderson_init, anderson_mix
+
+        use_aa = self.aa_depth > 0
         if getattr(self, "_fused_solve_cache", None) is None:
             inner = self._bregman_step_fn(scaled_weights, thresholds)
 
-            def bregman_step(state, rhs):
-                _, p, d_aux, b_aux = state
-                fluxes, p_new, d_new, b_new, metrics = inner(
-                    d_aux, b_aux, p, rhs
-                )
-                return (fluxes, p_new, d_new, b_new), metrics
+            if use_aa:
+                restart = self.aa_restart
+
+                def bregman_step(state, rhs):
+                    _, p, d_aux, b_aux, aa_state = state
+                    fluxes, p_new, d_new, b_new, metrics = inner(
+                        d_aux, b_aux, p, rhs
+                    )
+                    gk = jnp.concatenate(
+                        [
+                            self._flatten_fluxes(d_new),
+                            self._flatten_fluxes(b_new),
+                        ]
+                    )
+                    xk = jnp.concatenate(
+                        [
+                            self._flatten_fluxes(d_aux),
+                            self._flatten_fluxes(b_aux),
+                        ]
+                    )
+                    aa_state, mixed = anderson_mix(
+                        aa_state, gk, gk - xk, restart=restart
+                    )
+                    half = mixed.shape[0] // 2
+                    d_mixed = self._unflatten_fluxes(mixed[:half])
+                    b_mixed = self._unflatten_fluxes(mixed[half:])
+                    return (fluxes, p_new, d_mixed, b_mixed, aa_state), metrics
+
+            else:
+
+                def bregman_step(state, rhs):
+                    _, p, d_aux, b_aux = state
+                    fluxes, p_new, d_new, b_new, metrics = inner(
+                        d_aux, b_aux, p, rhs
+                    )
+                    return (fluxes, p_new, d_new, b_new), metrics
 
             self._fused_solve_cache = self._build_fused_outer(bregman_step)
         fused_solve = self._fused_solve_cache
@@ -1053,15 +1176,23 @@ class BeckmannBregmanSolver(BeckmannProblem):
         # Bregman normalizes the residual criterion by ||mass_rhs||
         # (host-loop parity below).
         res_norm = float(jnp.linalg.norm(mass_rhs))
+        state0 = (tuple(fluxes), p, tuple(d_aux), tuple(b_aux))
+        if use_aa:
+            aa_dim = 2 * sum(
+                int(np.prod(self.grid.faces_shape[d])) for d in range(self.dim)
+            )
+            state0 = state0 + (
+                anderson_init(aa_dim, self.aa_depth, dtype=self.dtype),
+            )
         outputs, timings = self._timed_fused_call(
             fused_solve,
-            (tuple(fluxes), p, tuple(d_aux), tuple(b_aux)),
+            state0,
             distance,
             mass_rhs,
             max(res_norm, 1e-30),
         )
         state, dist, k, status_code, buf = outputs
-        fluxes, p, _, _ = state
+        fluxes, p = state[0], state[1]
         distance, status, k = self._record_fused_history(
             history, dist, k, status_code, buf, timings["solve"]
         )
@@ -1112,9 +1243,11 @@ class BeckmannBregmanSolver(BeckmannProblem):
                 scaled_weights, thresholds, history,
             )
 
+        # The per-step jitted program has no AA hook — the host loop
+        # applies Anderson eagerly, so it needs the eager branch.
         fused_step = self._build_fused_bregman_step(
             mass_rhs, scaled_weights, thresholds
-        ) if fused else None
+        ) if fused and self.anderson is None else None
 
         iter = 0
         for iter in range(self.convergence_criteria.num_iter):
@@ -1145,6 +1278,36 @@ class BeckmannBregmanSolver(BeckmannProblem):
                 dub = tuple(fluxes[k] + b_aux[k] for k in range(self.dim))
                 d_aux = self._vector_shrink(dub, thresholds)
                 b_aux = tuple(dub[k] - d_aux[k] for k in range(self.dim))
+
+                # Anderson acceleration on the concatenated [aux, force]
+                # pair (reference beckmann_bregman_solver.py:267-281).
+                if self.anderson is not None:
+                    gk = np.concatenate(
+                        [
+                            np.asarray(self._flatten_fluxes(d_aux)),
+                            np.asarray(self._flatten_fluxes(b_aux)),
+                        ]
+                    )
+                    xk = np.concatenate(
+                        [
+                            np.asarray(self._flatten_fluxes(old_d)),
+                            np.asarray(self._flatten_fluxes(old_b)),
+                        ]
+                    )
+                    mixed = self.anderson(gk, gk - xk, iter)
+                    half = mixed.size // 2
+                    d_aux = tuple(
+                        jnp.asarray(a, dtype=self.dtype)
+                        for a in self._unflatten_fluxes(
+                            jnp.asarray(mixed[:half])
+                        )
+                    )
+                    b_aux = tuple(
+                        jnp.asarray(a, dtype=self.dtype)
+                        for a in self._unflatten_fluxes(
+                            jnp.asarray(mixed[half:])
+                        )
+                    )
 
                 # Optional adaptive reweighting.
                 if self.bregman_update is not None and self.bregman_update(iter):

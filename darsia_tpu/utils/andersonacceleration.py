@@ -1,9 +1,23 @@
 """Anderson acceleration for fixed-point iterations.
 
 Parity: reference ``src/darsia/utils/andersonacceleration.py:9-109``.
-The inner least-squares mixing is a small dense solve — cheap on host or
-device; kept numpy-based since iterates arrive per outer Newton/Bregman
-step.
+Two implementations share the same Type-II mixing math:
+
+- :class:`AndersonAcceleration` — the host (numpy) class, one call per
+  outer Newton/Bregman step, exact lstsq mixing.
+- :func:`anderson_init` / :func:`anderson_mix` — a pure-JAX functional
+  version with static shapes, designed to live INSIDE a fused
+  ``lax.while_loop`` solver (one XLA program for the whole solve, no
+  per-iteration host roundtrips).  The dynamic column selection of the
+  host lstsq becomes a ridge-augmented tall-skinny QR solve over the
+  full depth-sized history buffer: columns not yet populated are zero
+  and receive (regularized) zero mixing weights — equivalent to
+  restricting the least-squares problem to the active columns.  QR (not
+  normal equations) keeps the effective condition number at cond(F)
+  rather than cond(F)^2, which matters in f32: the normal-equations
+  variant measurably slowed Newton convergence (72 vs 51 iterations on
+  the 128^2 weighted benchmark problem) while the QR variant matches
+  the host lstsq iteration-for-iteration.
 """
 
 from __future__ import annotations
@@ -12,7 +26,85 @@ from typing import Optional, Union
 
 import numpy as np
 
-__all__ = ["AndersonAcceleration"]
+__all__ = ["AndersonAcceleration", "anderson_init", "anderson_mix"]
+
+
+def anderson_init(dimension: int, depth: int, dtype=None):
+    """Zero-initialized Anderson state for :func:`anderson_mix`.
+
+    The state is a pytree of fixed-shape device arrays, suitable as part
+    of a ``lax.while_loop`` carry: residual-difference history ``F`` and
+    iterate-difference history ``G`` (``(depth, dimension)``, rows =
+    ring-buffer slots), the previous residual/iterate, and the iteration
+    counter.
+    """
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    return {
+        "F": jnp.zeros((depth, dimension), dtype=dtype),
+        "G": jnp.zeros((depth, dimension), dtype=dtype),
+        "fkm1": jnp.zeros(dimension, dtype=dtype),
+        "gkm1": jnp.zeros(dimension, dtype=dtype),
+        "iteration": jnp.zeros((), dtype=jnp.int32),
+    }
+
+
+def anderson_mix(
+    state: dict,
+    gk,
+    fk,
+    restart: Optional[int] = None,
+    reg: float = 1e-5,
+):
+    """One traceable Anderson(depth) mixing step.
+
+    Args:
+        state: pytree from :func:`anderson_init` (depth is static via the
+            buffer shapes).
+        gk: current fixed-point application ``g(x_k)`` (flat vector).
+        fk: current residual ``g(x_k) - x_k`` (flat vector).
+        restart: optional restart period (counter wraps, buffers reset).
+        reg: ridge regularization relative to the largest history-column
+            norm (guards empty ring-buffer slots and near-collinear
+            histories).
+
+    Returns:
+        ``(state_next, x_next)`` — updated history and the mixed iterate.
+    """
+    import jax.numpy as jnp
+    from jax.scipy.linalg import solve_triangular
+
+    depth = state["F"].shape[0]
+    it = state["iteration"]
+    if restart is not None:
+        it = it % int(restart)
+    first = it == 0
+
+    col = (it - 1) % depth
+    F = state["F"].at[col].set(fk - state["fkm1"])
+    G = state["G"].at[col].set(gk - state["gkm1"])
+
+    # Type-II mixing: gamma = argmin ||F^T gamma - fk|| over the active
+    # history, via ridge-augmented tall-skinny QR (static shapes).
+    colnorm = jnp.sqrt(jnp.sum(F * F, axis=1))
+    lam = reg * jnp.max(colnorm) + jnp.asarray(1e-30, F.dtype)
+    A = jnp.concatenate([F.T, lam * jnp.eye(depth, dtype=F.dtype)], axis=0)
+    b = jnp.concatenate([fk, jnp.zeros(depth, dtype=F.dtype)])
+    Q, R = jnp.linalg.qr(A)
+    gamma = solve_triangular(R, Q.T @ b)
+    mixed = gk - G.T @ gamma
+
+    x_next = jnp.where(first, gk, mixed)
+    zero = jnp.zeros((), dtype=F.dtype)
+    state_next = {
+        "F": jnp.where(first, zero, F),
+        "G": jnp.where(first, zero, G),
+        "fkm1": fk,
+        "gkm1": gk,
+        "iteration": state["iteration"] + 1,
+    }
+    return state_next, x_next
 
 
 class AndersonAcceleration:
@@ -27,15 +119,18 @@ class AndersonAcceleration:
 
     def __init__(
         self,
-        dimension: Union[int, tuple],
+        dimension: Optional[Union[int, tuple]] = None,
         depth: int = 5,
         restart: Optional[int] = None,
     ) -> None:
         if isinstance(dimension, tuple):
             self._shape = dimension
             dimension = int(np.prod(dimension))
-        else:
+        elif dimension is not None:
             self._shape = (dimension,)
+        else:
+            # Lazy dimension (reference parity): sized on first call.
+            self._shape = None
         self.dimension = dimension
         self.depth = depth
         self.restart = restart
@@ -44,8 +139,12 @@ class AndersonAcceleration:
     def reset(self) -> None:
         self._fkm1: Optional[np.ndarray] = None
         self._gkm1: Optional[np.ndarray] = None
-        self._F = np.zeros((self.dimension, self.depth))
-        self._G = np.zeros((self.dimension, self.depth))
+        if self.dimension is not None:
+            self._F = np.zeros((self.dimension, self.depth))
+            self._G = np.zeros((self.dimension, self.depth))
+        else:
+            self._F = None
+            self._G = None
         self._iteration = 0
 
     def __call__(self, gk: np.ndarray, fk: np.ndarray, iteration: Optional[int] = None):
@@ -63,6 +162,10 @@ class AndersonAcceleration:
         shape = np.asarray(gk).shape
         gk = np.asarray(gk).ravel()
         fk = np.asarray(fk).ravel()
+        if self.dimension is None:
+            self.dimension = gk.size
+            self._shape = (gk.size,)
+            self.reset()
         if iteration is None:
             iteration = self._iteration
         if self.restart is not None:
