@@ -283,9 +283,12 @@ srcs = jnp.asarray(np.stack(srcs), jnp.float32)
 dsts = jnp.asarray(np.stack(dsts), jnp.float32)
 solve = batched_wasserstein((n, n), voxel_size=1.0/n,
                             options={"num_iter": 100, "tol_distance": 1e-4})
-d, k, s = solve(srcs, dsts); jax.block_until_ready(d)
+# np.asarray on the (B,)-distance vector is the sync: a plain host fetch
+# of an existing array (no new program), and unlike block_until_ready it
+# reliably waits under the TPU relay.
+d, k, s = solve(srcs, dsts); np.asarray(d)
 t0 = time.perf_counter()
-d, k, s = solve(srcs, dsts); jax.block_until_ready(d)
+d, k, s = solve(srcs, dsts); np.asarray(d)
 el = time.perf_counter() - t0
 print(json.dumps({"w1_batch8_256_pairs_per_s": round(B/el, 2),
                   "w1_batch8_256_iterations": int(np.asarray(k).max())}))
@@ -327,7 +330,12 @@ img = np.clip(np.kron(rng.random((n//32, n//32)), np.ones((32, 32)))
               + 0.1*rng.standard_normal((n, n)), 0, 1).astype(np.float32)
 run = lambda: dt.split_bregman_tvd(img, mu=10.0, ell=1.0,
                                    max_num_iter=iters, isotropic=False, eps=None)
-jax.block_until_ready(run())
+# Warmup compiles BOTH the fused loop and the scalar-probe fetch program
+# (a fetch of out[0, 0] dispatches its own tiny XLA program; on a relayed
+# TPU with a cold compile service that one-off compile can take minutes
+# and must not land inside the timed section).  block_until_ready does
+# not reliably wait under the relay, so the probe fetch IS the sync.
+float(np.asarray(run()[0, 0]))
 t0 = time.perf_counter()
 out = run()
 float(np.asarray(out[0, 0]))
