@@ -351,7 +351,11 @@ from .measure.beckmann import (
     BeckmannConvergenceHistory,
 )
 from .measure.emd import EMD
-from .measure.wasserstein import wasserstein_distance, wasserstein_distance_to_vtk
+from .measure.wasserstein import (
+    wasserstein_distance,
+    wasserstein_distance_3d,
+    wasserstein_distance_to_vtk,
+)
 from .utils import plotting
 from .utils.plotting import to_vtk
 

@@ -54,6 +54,22 @@ def wasserstein_distance(
     return w1(mass_src, mass_dst)
 
 
+def wasserstein_distance_3d(mass_src, mass_dst, **kwargs):
+    """Wasserstein-1 distance for 3-D images.
+
+    The reference's paper workflow calls ``darsia.wasserstein_distance_3d``
+    (``examples/paper/pet_simulations_comparison_block_b.py:875-886``) but
+    the upstream package never defines that symbol — the call would raise
+    ``AttributeError`` (latent upstream defect).  Here the Beckmann
+    solvers are dimension-generic (per-axis face stencils), so the 3-D
+    entry point simply forwards; it exists so the reference's 3-D OT
+    comparisons run unmodified.
+    """
+    if getattr(mass_dst, "space_dim", 3) != 3:
+        raise ValueError("wasserstein_distance_3d expects 3-D images.")
+    return wasserstein_distance(mass_src, mass_dst, **kwargs)
+
+
 def wasserstein_distance_to_vtk(path: Path, info: dict) -> None:
     """Export a Wasserstein info dict to a legacy VTK file."""
     from ..utils.formats import Format

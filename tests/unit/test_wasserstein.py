@@ -250,6 +250,30 @@ def test_wasserstein_3d_two_cubes():
     assert float(w) == pytest.approx(expected, rel=0.03)
 
 
+def test_wasserstein_distance_3d_facade():
+    """The 3-D entry point the reference's paper workflow calls (but the
+    upstream package never defines — AttributeError there): forwards to
+    the dimension-generic Beckmann solvers, rejects 2-D inputs."""
+    n = 12
+    src = np.zeros((n, n, n))
+    dst = np.zeros((n, n, n))
+    src[2:5, 2:5, 2:5] = 1.0
+    dst[6:9, 6:9, 6:9] = 1.0
+    s = da.Image(src, dimensions=[1.0, 1.0, 1.0], scalar=True, dim=3)
+    d = da.Image(dst, dimensions=[1.0, 1.0, 1.0], scalar=True, dim=3)
+    w3 = da.wasserstein_distance_3d(
+        s, d, method="newton", options={"num_iter": 60, "tol_residual": 1e-5}
+    )
+    w = da.wasserstein_distance(
+        s, d, method="newton", options={"num_iter": 60, "tol_residual": 1e-5}
+    )
+    assert float(w3) == pytest.approx(float(w), rel=1e-6)
+
+    src2d, dst2d = _problem()
+    with pytest.raises(ValueError):
+        da.wasserstein_distance_3d(src2d, dst2d)
+
+
 @pytest.mark.parametrize("method", ["newton", "bregman"])
 def test_profile_phases(method):
     """profile_phases=True reports measured per-phase solver seconds
