@@ -11,8 +11,13 @@ is unit-testable without a display (SURVEY §4 test strategy).
 
 from __future__ import annotations
 
+import json
+import os
+import subprocess
+import sys
 from dataclasses import dataclass, field
-from typing import Any, Optional
+from pathlib import Path
+from typing import Any, Iterable, Optional
 
 __all__ = [
     "StepParameter",
@@ -25,6 +30,24 @@ __all__ = [
     "workflow_done_message",
     "workflow_error_message",
     "completion_dialog",
+    "normalize_config_paths",
+    "deduplicate_paths",
+    "move_item",
+    "ConfigManager",
+    "resolve_rig_class",
+    "default_session_cache_file",
+    "read_session_cache",
+    "write_session_cache",
+    "template_config_path",
+    "new_config_from_template",
+    "results_folder_for_step",
+    "open_in_file_explorer",
+    "ConfigEditorModel",
+    "dashboard_lines",
+    "encode_error_details",
+    "decode_error_details",
+    "conflict_choice_to_policy",
+    "utils_bundle_defaults",
 ]
 
 
@@ -63,6 +86,23 @@ _STEP_SPECIFIC: dict[str, tuple[StepParameter, ...]] = {
             "bool",
             True,
             help="Per-image tips/fjords/skeleton/path overlays.",
+        ),
+    ),
+    "comparison: wasserstein": (
+        StepParameter(
+            "mode",
+            "Mode",
+            "choice",
+            "compute",
+            choices=("compute", "assemble"),
+            help="Compute pairwise W1 distances or assemble the CSV.",
+        ),
+        StepParameter(
+            "skip_existing",
+            "Skip existing results",
+            "bool",
+            False,
+            help="Leave already-computed wasserstein_*.json untouched.",
         ),
     ),
 }
@@ -288,3 +328,436 @@ def completion_dialog(
         "results_folder": results_folder,
         "buttons": buttons,
     }
+
+
+# ------------------------------------------------------- config-set manager
+#
+# The reference GUI manages an *ordered list* of TOML config files whose
+# sections deep-merge left-to-right (``user_interface_gui.py:98-173,
+# 959-1005``: add/remove/reorder, session cache with rig spec, new-from-
+# template).  Here the same capability is a display-free model the Tk list
+# box renders.
+
+
+def normalize_config_paths(raw: Iterable[Any]) -> list[Path]:
+    """Strip/expand/absolutize path strings, dropping blanks + duplicates
+    while preserving order (first occurrence wins)."""
+    out: list[Path] = []
+    seen: set[Path] = set()
+    for item in raw:
+        text = str(item).strip()
+        if not text:
+            continue
+        path = Path(text).expanduser().resolve()
+        if path not in seen:
+            seen.add(path)
+            out.append(path)
+    return out
+
+
+def deduplicate_paths(paths: Iterable[Path]) -> list[Path]:
+    """Order-preserving de-duplication of Path objects."""
+    out: list[Path] = []
+    seen: set[Path] = set()
+    for path in paths:
+        if path not in seen:
+            seen.add(path)
+            out.append(path)
+    return out
+
+
+def move_item(items: list, index: int, delta: int) -> int:
+    """Move ``items[index]`` by ``delta`` positions in place; returns the
+    new index (clamped to the list bounds)."""
+    if not items:
+        raise IndexError("Cannot move within an empty list.")
+    if not 0 <= index < len(items):
+        raise IndexError(f"Index {index} out of range for {len(items)} items.")
+    new_index = min(max(index + delta, 0), len(items) - 1)
+    item = items.pop(index)
+    items.insert(new_index, item)
+    return new_index
+
+
+class ConfigManager:
+    """Ordered multi-file TOML config set (later files override earlier).
+
+    The merge semantics are exactly :func:`..config.toml_utils.read_toml`'s
+    — the same function every CLI front-end uses — so what the GUI previews
+    is what the worker runs.
+    """
+
+    def __init__(self, paths: Optional[Iterable[Any]] = None) -> None:
+        self.paths: list[Path] = normalize_config_paths(paths or [])
+
+    def add(self, path) -> bool:
+        """Append a config file; returns False if it was already present."""
+        resolved = Path(str(path)).expanduser().resolve()
+        if resolved in self.paths:
+            return False
+        self.paths.append(resolved)
+        return True
+
+    def remove(self, index: int) -> Path:
+        return self.paths.pop(index)
+
+    def move(self, index: int, delta: int) -> int:
+        return move_item(self.paths, index, delta)
+
+    def clear(self) -> None:
+        self.paths.clear()
+
+    def as_strings(self) -> list[str]:
+        return [str(p) for p in self.paths]
+
+    def merged(self) -> dict:
+        """Deep-merged dict of all config files (missing files error)."""
+        from .config.toml_utils import read_toml
+
+        if not self.paths:
+            return {}
+        return read_toml(list(self.paths))
+
+    def results_folder(self) -> Optional[Path]:
+        """The configured ``[data].results`` folder, if any."""
+        data = self.merged().get("data")
+        if not isinstance(data, dict):
+            return None
+        results = data.get("results")
+        if not isinstance(results, str) or not results.strip():
+            return None
+        return Path(results).expanduser()
+
+
+def resolve_rig_class(spec: str):
+    """Resolve a rig class from ``module.path:ClassName`` notation.
+
+    Empty spec returns the stock :class:`..rig.Rig`.  (Reference
+    ``user_interface_gui.py:81-96``.)
+    """
+    import importlib
+
+    from .rig import Rig
+
+    if not spec or not spec.strip():
+        return Rig
+    if ":" not in spec:
+        raise ValueError(
+            "Rig class must be formatted as 'module.path:ClassName'."
+        )
+    module_name, class_name = spec.split(":", maxsplit=1)
+    module = importlib.import_module(module_name)
+    cls = getattr(module, class_name, None)
+    if cls is None:
+        raise ValueError(
+            f"Class {class_name!r} not found in module {module_name!r}."
+        )
+    if not isinstance(cls, type) or not issubclass(cls, Rig):
+        raise ValueError(f"{spec!r} is not a subclass of Rig.")
+    return cls
+
+
+# ------------------------------------------------------------ session cache
+
+SESSION_CACHE_VERSION = 2
+
+
+def default_session_cache_file() -> Path:
+    """XDG-style default location for the GUI session cache."""
+    xdg = os.environ.get("XDG_CACHE_HOME")
+    base = Path(xdg).expanduser() if xdg else Path.home() / ".cache"
+    return base / "darsia_tpu" / "gui_session.json"
+
+
+def read_session_cache(path: Path) -> dict:
+    """Load the session cache; tolerant of v1 files and corruption.
+
+    Returns a complete state dict: ``config_paths`` (list[str]),
+    ``rig_spec`` (str), ``last_step``, ``all_images``, ``history``.
+    A v1 cache (single ``config`` key) is migrated transparently.
+    """
+    state = {
+        "config_paths": [],
+        "rig_spec": "",
+        "last_step": None,
+        "all_images": False,
+        "history": [],
+    }
+    path = Path(path)
+    if not path.exists():
+        return state
+    try:
+        data = json.loads(path.read_text())
+    except (OSError, json.JSONDecodeError, UnicodeDecodeError):
+        return state
+    if not isinstance(data, dict):
+        return state
+    # v1 migration: single "config" string.
+    if "config" in data and "config_paths" not in data:
+        config = data.get("config")
+        if isinstance(config, str) and config.strip():
+            state["config_paths"] = [
+                str(p) for p in normalize_config_paths([config])
+            ]
+    raw_paths = data.get("config_paths", [])
+    if isinstance(raw_paths, list):
+        normalized = normalize_config_paths(
+            [p for p in raw_paths if isinstance(p, str)]
+        )
+        if normalized:
+            state["config_paths"] = [str(p) for p in normalized]
+    if isinstance(data.get("rig_spec"), str):
+        state["rig_spec"] = data["rig_spec"]
+    if isinstance(data.get("last_step"), str):
+        state["last_step"] = data["last_step"]
+    state["all_images"] = bool(data.get("all_images", False))
+    if isinstance(data.get("history"), list):
+        state["history"] = data["history"][-50:]
+    return state
+
+
+def write_session_cache(path: Path, state: dict) -> None:
+    """Persist the session state (versioned JSON)."""
+    payload = {
+        "version": SESSION_CACHE_VERSION,
+        "config_paths": [str(p) for p in state.get("config_paths", [])],
+        "rig_spec": state.get("rig_spec", ""),
+        "last_step": state.get("last_step"),
+        "all_images": bool(state.get("all_images", False)),
+        "history": list(state.get("history", []))[-50:],
+    }
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps(payload, indent=2))
+
+
+# --------------------------------------------------------------- templates
+
+
+def template_config_path() -> Path:
+    """The packaged TOML config template."""
+    return Path(__file__).resolve().parent / "templates" / "config.toml"
+
+
+def new_config_from_template(dest) -> Path:
+    """Copy the config template to ``dest`` (refusing to overwrite)."""
+    dest = Path(dest).expanduser()
+    if dest.exists():
+        raise FileExistsError(f"{dest} already exists.")
+    template = template_config_path()
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    dest.write_text(template.read_text())
+    return dest
+
+
+# --------------------------------------------------- results-folder routing
+#
+# Map a finished step to the folder its artifacts land in, so the done
+# dialog can offer "Open results folder" (reference
+# ``user_interface_gui.py:262-393``).  Folder keys follow the repo's own
+# config semantics: ``analysis.<mode>.folder`` defaulting to
+# ``<results>/<mode>`` (config/analysis.py), media under
+# ``<results>/videos``, calibration bundles under ``<results>/calibration``.
+
+_STEP_RESULTS_SUBFOLDER = {
+    "analysis: cropping": "cropping",
+    "analysis: segmentation": "segmentation",
+    "analysis: thresholding": "thresholding",
+    "analysis: fingers": "fingers",
+    "analysis: mass": "mass",
+    "analysis: volume": "volume",
+}
+
+
+def results_folder_for_step(step: str, config_paths) -> Optional[Path]:
+    """Best-effort output folder of a step under the merged config."""
+    manager = (
+        config_paths
+        if isinstance(config_paths, ConfigManager)
+        else ConfigManager(config_paths)
+    )
+    try:
+        merged = manager.merged()
+    except Exception:
+        return None
+    results = manager.results_folder()
+    if results is None:
+        return None
+    if step in _STEP_RESULTS_SUBFOLDER:
+        mode = _STEP_RESULTS_SUBFOLDER[step]
+        analysis = merged.get("analysis")
+        if isinstance(analysis, dict):
+            section = analysis.get(mode)
+            if isinstance(section, dict):
+                folder = section.get("folder")
+                if isinstance(folder, str) and folder.strip():
+                    return Path(folder).expanduser()
+        return results / mode
+    if step.startswith("setup:"):
+        return results / "setup"
+    if step.startswith("calibration:"):
+        return results / "calibration"
+    if step == "comparison: wasserstein":
+        wasserstein = merged.get("wasserstein")
+        if isinstance(wasserstein, dict):
+            folder = wasserstein.get("results")
+            if isinstance(folder, str) and folder.strip():
+                return Path(folder).expanduser()
+        return results / "wasserstein"
+    if step == "utils: media":
+        return results / "videos"
+    if step.startswith("utils:"):
+        return results / "calibration"
+    return results
+
+
+def open_in_file_explorer(path, runner=None) -> list[str]:
+    """Open ``path`` in the OS file browser; returns the command used.
+
+    Walks up to the nearest existing ancestor (a failed run may not have
+    created the folder).  ``runner`` (default ``subprocess.Popen``) is
+    injectable for tests.
+    """
+    target = Path(path).expanduser().resolve()
+    while not target.exists() and target.parent != target:
+        target = target.parent
+    if sys.platform.startswith("darwin"):
+        command = ["open", str(target)]
+    elif os.name == "nt":
+        command = ["explorer", str(target)]
+    else:
+        command = ["xdg-open", str(target)]
+    (runner or subprocess.Popen)(command)
+    return command
+
+
+# ------------------------------------------------------------ config editor
+
+
+class ConfigEditorModel:
+    """Text-editor state for one TOML config file (dirty tracking,
+    save/save-as, TOML syntax validation) — the Tk text widget renders
+    ``text`` and calls the mutators."""
+
+    def __init__(self) -> None:
+        self.path: Optional[Path] = None
+        self.text: str = ""
+        self._saved_text: str = ""
+
+    @property
+    def dirty(self) -> bool:
+        return self.text != self._saved_text
+
+    def open(self, path) -> str:
+        path = Path(path).expanduser()
+        self.text = path.read_text()
+        self._saved_text = self.text
+        self.path = path
+        return self.text
+
+    def set_text(self, text: str) -> None:
+        self.text = text
+
+    def validate(self) -> Optional[str]:
+        """TOML parse check; returns the error message or None."""
+        import tomllib
+
+        try:
+            tomllib.loads(self.text)
+        except tomllib.TOMLDecodeError as exc:
+            return str(exc)
+        return None
+
+    def save(self) -> Path:
+        if self.path is None:
+            raise ValueError("No file open; use save_as().")
+        return self.save_as(self.path)
+
+    def save_as(self, path) -> Path:
+        error = self.validate()
+        if error is not None:
+            raise ValueError(f"Config is not valid TOML: {error}")
+        path = Path(path).expanduser()
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(self.text)
+        self.path = path
+        self._saved_text = self.text
+        return path
+
+
+# --------------------------------------------------------------- dashboard
+
+
+def dashboard_lines(config_paths, rig_spec: str = "") -> list[str]:
+    """Human-readable summary of the loaded config set (the reference
+    dashboard pane, ``user_interface_gui.py:1247-1260,2344-2374``)."""
+    manager = (
+        config_paths
+        if isinstance(config_paths, ConfigManager)
+        else ConfigManager(config_paths)
+    )
+    lines = [f"Config files: {len(manager.paths)}"]
+    for i, path in enumerate(manager.paths):
+        marker = "missing! " if not path.exists() else ""
+        lines.append(f"  {i + 1}. {marker}{path}")
+    if not manager.paths:
+        lines.append("  (none selected)")
+        return lines
+    try:
+        merged = manager.merged()
+    except Exception as exc:
+        lines.append(f"Merge error: {exc}")
+        return lines
+    data = merged.get("data", {}) if isinstance(merged.get("data"), dict) else {}
+    for key in ("images", "baseline", "results"):
+        value = data.get(key)
+        if value:
+            lines.append(f"{key.capitalize()}: {value}")
+    sections = sorted(k for k, v in merged.items() if isinstance(v, dict))
+    lines.append(f"Sections: {', '.join(sections) if sections else '(none)'}")
+    lines.append(f"Rig class: {rig_spec or 'darsia_tpu default Rig'}")
+    return lines
+
+
+# ----------------------------------------------------------- error details
+
+_ERROR_DETAILS_MARKER = "__details__:"
+
+
+def encode_error_details(message: str, details: str) -> str:
+    """Pack a one-line error message + full traceback into one queue
+    payload (reference encode_workflow_error_details)."""
+    return f"{message}\n{_ERROR_DETAILS_MARKER}{details}"
+
+
+def decode_error_details(payload: str) -> tuple[str, Optional[str]]:
+    """Inverse of :func:`encode_error_details`; details None if absent."""
+    if _ERROR_DETAILS_MARKER not in payload:
+        return payload, None
+    message, details = payload.split(_ERROR_DETAILS_MARKER, 1)
+    return message.rstrip("\n"), details
+
+
+def conflict_choice_to_policy(choice: Optional[bool]) -> Optional[str]:
+    """Map a yes/no/cancel dialog result to an overwrite policy."""
+    if choice is None:
+        return None
+    return "overwrite" if choice else "skip"
+
+
+def utils_bundle_defaults(config_paths) -> tuple[str, str]:
+    """Default export/import calibration-bundle paths from the config."""
+    manager = (
+        config_paths
+        if isinstance(config_paths, ConfigManager)
+        else ConfigManager(config_paths)
+    )
+    results = None
+    try:
+        results = manager.results_folder()
+    except Exception:
+        pass
+    if results is None:
+        return "", ""
+    bundle = results / "calibration" / "calibration_bundle.zip"
+    return str(bundle), str(bundle)

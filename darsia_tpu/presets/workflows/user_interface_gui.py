@@ -16,7 +16,6 @@ progress bars, and streamed preview images.
 
 from __future__ import annotations
 
-import json
 import logging
 import logging.handlers
 import multiprocessing as mp
@@ -87,7 +86,7 @@ STEP_REGISTRY = {
     ),
     "comparison: wasserstein": (
         "darsia_tpu.presets.workflows.comparison",
-        "comparison_wasserstein", "config",
+        "comparison_wasserstein", "rig_config",
     ),
     "helper: color report": (
         "darsia_tpu.presets.workflows.helper.helper_color",
@@ -112,7 +111,7 @@ def _worker(
     module_name: str,
     function_name: str,
     kind: str,
-    config_path: str,
+    config_path,
     all_images: bool,
     log_queue,
     progress_queue,
@@ -120,6 +119,7 @@ def _worker(
     jax_platform: Optional[str] = None,
     jax_cache_dir: Optional[str] = None,
     step_kwargs: Optional[dict] = None,
+    rig_spec: str = "",
 ) -> None:
     """Worker entry point: run one step, forward logs/progress/previews.
 
@@ -178,15 +178,24 @@ def _worker(
     try:
         import importlib
 
+        from .gui_support import resolve_rig_class
+
         module = importlib.import_module(module_name)
         function = getattr(module, function_name)
+        # Multi-file config overlays deep-merge left-to-right — the same
+        # list every CLI front-end accepts (user_interface_analysis.py).
+        if isinstance(config_path, (list, tuple)):
+            paths = [Path(p) for p in config_path]
+            path_arg = paths if len(paths) > 1 else paths[0]
+        else:
+            path_arg = Path(config_path)
+        rig_cls = resolve_rig_class(rig_spec)
         if kind == "context":
             from .analysis.analysis_context import prepare_analysis_context
-            from .rig import Rig
 
             ctx = prepare_analysis_context(
-                cls=Rig,
-                path=Path(config_path),
+                cls=rig_cls,
+                path=path_arg,
                 all=all_images,
                 require_color_to_mass=function_name
                 in ("analysis_mass_from_context", "analysis_volume_from_context",
@@ -206,8 +215,17 @@ def _worker(
                 if name in signature.parameters:
                     kwargs[name] = value
             function(ctx, **kwargs)
+        elif kind == "rig_config":
+            # Steps taking (rig_cls, path, **options), e.g.
+            # comparison_wasserstein(cls, path, compute/assemble).
+            kwargs = dict(step_kwargs or {})
+            mode = kwargs.pop("mode", None)
+            if mode is not None:
+                kwargs["compute"] = mode == "compute"
+                kwargs["assemble"] = mode == "assemble"
+            function(rig_cls, path_arg, **kwargs)
         else:
-            function(Path(config_path))
+            function(path_arg)
         progress_queue.put(("__done__", function_name))
     except Exception as exc:  # surface errors to the GUI over the queue
         import traceback
@@ -250,6 +268,10 @@ class WorkerHandle:
     ) -> dict:
         """Drain the queues into callbacks; returns drained counts."""
         counts = {"log": 0, "progress": 0, "preview": 0}
+        # Read the exit code BEFORE draining: if the process was already
+        # dead when we started, everything it flushed is readable below,
+        # so "drained everything + was dead + no sentinel" is race-free.
+        exitcode_before = self.process.exitcode
         for _ in range(max_events):
             try:
                 record = self.log_queue.get_nowait()
@@ -289,6 +311,18 @@ class WorkerHandle:
             counts["preview"] += 1
             if on_preview is not None:
                 on_preview(images)
+        # Hard worker death (OOM/segfault/spawn failure): the process is
+        # gone but no __done__/__failed__ sentinel ever arrived.  Without
+        # this, the GUI shows "running" forever (reference handles worker
+        # death in _poll_worker_completion, user_interface_gui.py:1738).
+        if not self.finished and exitcode_before is not None:
+            self.finished = True
+            self.failed = True
+            if on_log is not None:
+                on_log(
+                    f"{self.step} worker died without completing "
+                    f"(exit code {exitcode_before})."
+                )
         return counts
 
     def stop(self) -> None:
@@ -300,45 +334,105 @@ class WorkerHandle:
 class GuiSession:
     """Headless GUI core: step registry, workers, session cache.
 
-    The session cache (JSON) stores the last selected config files, step
-    and flags, so relaunching the GUI restores the previous state
-    (reference session cache, ``user_interface_gui.py``).
+    The session cache (versioned JSON) stores the ordered multi-file
+    config set, the rig-class spec, the last step and flags, so
+    relaunching the GUI restores the previous state (reference session
+    cache + config manager, ``user_interface_gui.py:124-173,959-1005``).
+    Config files deep-merge left-to-right, exactly as the CLI's repeated
+    ``--config`` flags do.
     """
 
     def __init__(self, cache_path: Optional[Path] = None) -> None:
+        from .gui_support import default_session_cache_file, read_session_cache
+
         self.cache_path = (
             Path(cache_path)
             if cache_path is not None
-            else Path.home() / ".darsia_tpu" / "gui_session.json"
+            else default_session_cache_file()
         )
-        self.state: dict = {
-            "config": None,
-            "last_step": None,
-            "all_images": False,
-            "history": [],
-        }
-        self.load_cache()
+        legacy = Path.home() / ".darsia_tpu" / "gui_session.json"
+        if cache_path is None and not self.cache_path.exists() and legacy.exists():
+            self.cache_path = legacy  # pick up pre-v2 session files
+        self.state: dict = read_session_cache(self.cache_path)
         self.workers: list[WorkerHandle] = []
 
     # ------------------------------------------------------------ cache
 
     def load_cache(self) -> None:
-        try:
-            if self.cache_path.exists():
-                self.state.update(json.loads(self.cache_path.read_text()))
-        except Exception:
-            logger.warning("Session cache unreadable; starting fresh.")
+        from .gui_support import read_session_cache
+
+        self.state = read_session_cache(self.cache_path)
 
     def save_cache(self) -> None:
+        from .gui_support import write_session_cache
+
         try:
-            self.cache_path.parent.mkdir(parents=True, exist_ok=True)
-            self.cache_path.write_text(json.dumps(self.state, indent=2))
+            write_session_cache(self.cache_path, self.state)
         except OSError:
             logger.warning("Session cache not writable.")
 
+    # ----------------------------------------------------------- configs
+
+    @property
+    def config_paths(self) -> list[str]:
+        return list(self.state.get("config_paths", []))
+
     def set_config(self, config_path) -> None:
-        self.state["config"] = str(config_path)
+        """Replace the config set with one file (back-compat entry)."""
+        self.set_configs([config_path])
+
+    def set_configs(self, config_paths) -> None:
+        from .gui_support import normalize_config_paths
+
+        self.state["config_paths"] = [
+            str(p) for p in normalize_config_paths(config_paths)
+        ]
         self.save_cache()
+
+    def add_config(self, config_path) -> bool:
+        """Append one config overlay; returns False on duplicates."""
+        from .gui_support import normalize_config_paths
+
+        normalized = normalize_config_paths([config_path])
+        if not normalized:
+            return False
+        path = str(normalized[0])
+        if path in self.state.get("config_paths", []):
+            return False
+        self.state.setdefault("config_paths", []).append(path)
+        self.save_cache()
+        return True
+
+    def remove_config(self, index: int) -> str:
+        removed = self.state["config_paths"].pop(index)
+        self.save_cache()
+        return removed
+
+    def move_config(self, index: int, delta: int) -> int:
+        from .gui_support import move_item
+
+        new_index = move_item(self.state["config_paths"], index, delta)
+        self.save_cache()
+        return new_index
+
+    def set_rig_spec(self, spec: str) -> None:
+        from .gui_support import resolve_rig_class
+
+        resolve_rig_class(spec)  # fail fast on bad specs
+        self.state["rig_spec"] = spec
+        self.save_cache()
+
+    def dashboard(self) -> list[str]:
+        from .gui_support import dashboard_lines
+
+        return dashboard_lines(
+            self.config_paths, self.state.get("rig_spec", "")
+        )
+
+    def results_folder(self, step: str):
+        from .gui_support import results_folder_for_step
+
+        return results_folder_for_step(step, self.config_paths)
 
     # ----------------------------------------------------------- workers
 
@@ -361,8 +455,13 @@ class GuiSession:
     ) -> WorkerHandle:
         if step not in STEP_REGISTRY:
             raise KeyError(f"Unknown step {step!r}; known: {self.steps}")
-        config = str(config_path or self.state.get("config") or "")
-        if not config:
+        if config_path is None:
+            configs = self.config_paths
+        elif isinstance(config_path, (list, tuple)):
+            configs = [str(p) for p in config_path]
+        else:
+            configs = [str(config_path)]
+        if not configs:
             raise ValueError("No config selected.")
         module_name, function_name, kind = STEP_REGISTRY[step]
         from .gui_support import validate_options
@@ -403,9 +502,9 @@ class GuiSession:
         process = ctx.Process(
             target=_worker,
             args=(
-                module_name, function_name, kind, config, all_flag,
+                module_name, function_name, kind, configs, all_flag,
                 log_queue, progress_queue, preview_queue, jax_platform,
-                jax_cache_dir, step_kwargs,
+                jax_cache_dir, step_kwargs, self.state.get("rig_spec", ""),
             ),
             daemon=True,
         )
@@ -420,7 +519,7 @@ class GuiSession:
         self.workers.append(handle)
         self.state["last_step"] = step
         self.state.setdefault("history", []).append(
-            {"step": step, "config": config, "started_at": handle.started_at}
+            {"step": step, "config": configs, "started_at": handle.started_at}
         )
         self.state["history"] = self.state["history"][-50:]
         self.save_cache()
@@ -442,11 +541,13 @@ def run_step_in_worker(step: str, config_path: str):
 
 
 def launch_gui(config_path=None) -> None:
-    """Tk shell over :class:`GuiSession`: step buttons, log pane, progress
-    bar, and streamed preview images."""
+    """Tk shell over :class:`GuiSession`: multi-config manager, built-in
+    TOML editor, step buttons with per-step option forms, batch monitor
+    with rolling ETA, log pane, streamed preview images, and done/error
+    dialogs (reference GUI feature set, ``user_interface_gui.py``)."""
     try:
         import tkinter as tk
-        from tkinter import filedialog, scrolledtext, ttk
+        from tkinter import filedialog, messagebox, scrolledtext, ttk
     except Exception as e:
         raise RuntimeError(
             "Tkinter is not available in this environment. Use the CLI "
@@ -455,35 +556,159 @@ def launch_gui(config_path=None) -> None:
             "--config config.toml --mass"
         ) from e
 
+    from .gui_support import (
+        BatchMonitor,
+        ConfigEditorModel,
+        PreviewStore,
+        completion_dialog,
+        new_config_from_template,
+        open_in_file_explorer,
+        step_parameters,
+    )
+
     session = GuiSession()
     if config_path is not None:
-        session.set_config(config_path)
+        if isinstance(config_path, (list, tuple)):
+            session.set_configs(config_path)
+        else:
+            session.set_config(config_path)
 
     root = tk.Tk()
     root.title("darsia_tpu workflows")
 
-    # Top bar: config chooser + all-images toggle.
-    top = tk.Frame(root)
-    top.pack(fill="x")
-    config_var = tk.StringVar(value=session.state.get("config") or "")
+    # --- Config manager pane: ordered overlay list + rig spec. ---------
+    manager_frame = tk.LabelFrame(root, text="Config files (merge top to bottom)")
+    manager_frame.pack(fill="x")
+    config_list = tk.Listbox(manager_frame, height=4, selectmode="browse")
+    config_list.grid(row=0, column=0, rowspan=5, sticky="nsew")
+    manager_frame.columnconfigure(0, weight=1)
     all_var = tk.BooleanVar(value=bool(session.state.get("all_images")))
+    rig_var = tk.StringVar(value=session.state.get("rig_spec", ""))
+    dashboard_box = tk.Label(
+        manager_frame, justify="left", anchor="nw", relief="sunken"
+    )
+    dashboard_box.grid(row=0, column=2, rowspan=5, sticky="nsew")
+    manager_frame.columnconfigure(2, weight=1)
 
-    def choose_config() -> None:
+    def refresh_configs() -> None:
+        config_list.delete(0, tk.END)
+        for path in session.config_paths:
+            config_list.insert(tk.END, path)
+        dashboard_box.configure(text="\n".join(session.dashboard()))
+
+    def selected_index():
+        selection = config_list.curselection()
+        return selection[0] if selection else None
+
+    def add_config() -> None:
         chosen = filedialog.askopenfilename(filetypes=[("TOML", "*.toml")])
         if chosen:
-            session.set_config(chosen)
-            config_var.set(chosen)
+            if not session.add_config(chosen):
+                messagebox.showinfo("Config", "Already in the list.")
+            refresh_configs()
 
-    tk.Button(top, text="Choose config", command=choose_config).pack(
-        side="left"
-    )
-    tk.Label(top, textvariable=config_var, anchor="w").pack(
-        side="left", fill="x", expand=True
-    )
-    tk.Checkbutton(top, text="all images", variable=all_var).pack(side="right")
+    def remove_config() -> None:
+        index = selected_index()
+        if index is not None:
+            session.remove_config(index)
+            refresh_configs()
 
-    # Step buttons grouped by category + per-step parameter form.
-    from .gui_support import BatchMonitor, PreviewStore, step_parameters
+    def move_config(delta: int) -> None:
+        index = selected_index()
+        if index is not None:
+            new_index = session.move_config(index, delta)
+            refresh_configs()
+            config_list.selection_set(new_index)
+
+    def new_from_template() -> None:
+        dest = filedialog.asksaveasfilename(
+            defaultextension=".toml", filetypes=[("TOML", "*.toml")]
+        )
+        if not dest:
+            return
+        try:
+            created = new_config_from_template(dest)
+        except FileExistsError as exc:
+            messagebox.showerror("Template", str(exc))
+            return
+        session.add_config(created)
+        refresh_configs()
+        open_editor(created)
+
+    # --- Built-in TOML editor (separate window). ------------------------
+    def open_editor(path=None) -> None:
+        index = selected_index()
+        if path is None and index is not None:
+            path = session.config_paths[index]
+        if path is None:
+            messagebox.showinfo("Editor", "Select a config file first.")
+            return
+        model = ConfigEditorModel()
+        try:
+            model.open(path)
+        except OSError as exc:
+            messagebox.showerror("Editor", str(exc))
+            return
+        window = tk.Toplevel(root)
+        window.title(f"Edit {path}")
+        editor = scrolledtext.ScrolledText(window, width=100, height=36)
+        editor.pack(fill="both", expand=True)
+        editor.insert("1.0", model.text)
+
+        def do_save(save_as: bool = False) -> None:
+            model.set_text(editor.get("1.0", tk.END)[:-1])
+            target = model.path
+            if save_as:
+                chosen = filedialog.asksaveasfilename(
+                    defaultextension=".toml", filetypes=[("TOML", "*.toml")]
+                )
+                if not chosen:
+                    return
+                target = chosen
+            try:
+                saved = model.save_as(target)
+            except ValueError as exc:  # TOML syntax error
+                messagebox.showerror("Save failed", str(exc))
+                return
+            window.title(f"Edit {saved}")
+            refresh_configs()
+
+        bar = tk.Frame(window)
+        bar.pack(fill="x")
+        tk.Button(bar, text="Save", command=do_save).pack(side="left")
+        tk.Button(
+            bar, text="Save as...", command=lambda: do_save(save_as=True)
+        ).pack(side="left")
+
+    column = tk.Frame(manager_frame)
+    column.grid(row=0, column=1, rowspan=5, sticky="ns")
+    for label, command in (
+        ("Add...", add_config),
+        ("Remove", remove_config),
+        ("Up", lambda: move_config(-1)),
+        ("Down", lambda: move_config(1)),
+        ("New from template", new_from_template),
+        ("Edit...", open_editor),
+    ):
+        tk.Button(column, text=label, command=command).pack(fill="x")
+
+    options_bar = tk.Frame(root)
+    options_bar.pack(fill="x")
+    tk.Label(options_bar, text="Rig class (module:Class):").pack(side="left")
+    rig_entry = tk.Entry(options_bar, textvariable=rig_var, width=48)
+    rig_entry.pack(side="left")
+
+    def apply_rig_spec(_event=None) -> None:
+        try:
+            session.set_rig_spec(rig_var.get())
+        except (ValueError, ImportError) as exc:
+            messagebox.showerror("Rig class", str(exc))
+
+    rig_entry.bind("<FocusOut>", apply_rig_spec)
+    rig_entry.bind("<Return>", apply_rig_spec)
+    tk.Checkbutton(
+        options_bar, text="all images", variable=all_var
+    ).pack(side="right")
 
     buttons = tk.Frame(root)
     buttons.pack(fill="x")
@@ -503,7 +728,18 @@ def launch_gui(config_path=None) -> None:
                 var = tk.BooleanVar(value=bool(spec.default))
                 tk.Checkbutton(
                     form_frame, text=spec.label, variable=var
-                ).grid(row=0, column=col, sticky="w")
+                ).grid(row=0, column=2 * col, columnspan=2, sticky="w")
+            elif spec.type == "choice":
+                var = tk.StringVar(
+                    value="" if spec.default is None else str(spec.default)
+                )
+                tk.Label(form_frame, text=spec.label).grid(
+                    row=0, column=2 * col, sticky="w"
+                )
+                ttk.Combobox(
+                    form_frame, textvariable=var, state="readonly",
+                    values=list(spec.choices), width=12,
+                ).grid(row=0, column=2 * col + 1, sticky="w")
             else:
                 var = tk.StringVar(
                     value="" if spec.default is None else str(spec.default)
@@ -518,10 +754,26 @@ def launch_gui(config_path=None) -> None:
 
     progress = ttk.Progressbar(root, maximum=1.0)
     progress.pack(fill="x")
+    status_bar = tk.Frame(root)
+    status_bar.pack(fill="x")
     status_var = tk.StringVar(value="idle")
-    tk.Label(root, textvariable=status_var, anchor="w").pack(fill="x")
+    tk.Label(status_bar, textvariable=status_var, anchor="w").pack(
+        side="left", fill="x", expand=True
+    )
+
+    def abort_workers() -> None:
+        if not session.workers:
+            return
+        if messagebox.askyesno("Abort", "Terminate the running step?"):
+            session.stop_all()
+            status_var.set("aborted")
+
+    tk.Button(status_bar, text="Abort", command=abort_workers).pack(
+        side="right"
+    )
     monitor = BatchMonitor()
     previews = PreviewStore()
+    error_lines: list[str] = []
 
     log_box = scrolledtext.ScrolledText(root, width=110, height=20)
     log_box.pack(fill="both", expand=True)
@@ -539,6 +791,8 @@ def launch_gui(config_path=None) -> None:
     def log(message: str) -> None:
         log_box.insert(tk.END, message + "\n")
         log_box.see(tk.END)
+        if "failed:" in message or "Error" in message:
+            error_lines.append(message)
 
     def on_progress(event) -> None:
         if isinstance(event, dict):
@@ -579,6 +833,30 @@ def launch_gui(config_path=None) -> None:
 
     preview_menu.bind("<<ComboboxSelected>>", lambda _e: render_preview())
 
+    def show_completion(handle) -> None:
+        """Done/error dialog with details + open-results-folder."""
+        elapsed = time.time() - handle.started_at
+        results = session.results_folder(handle.step)
+        spec = completion_dialog(
+            handle.step,
+            failed=handle.failed,
+            elapsed_s=elapsed,
+            error="\n".join(error_lines[-12:]),
+            results_folder=str(results) if results else None,
+        )
+        if handle.failed:
+            messagebox.showerror(
+                spec["title"],
+                spec["message"]
+                + ("\n\n" + spec.get("details", "") if spec.get("details") else ""),
+            )
+        elif spec.get("results_folder") and messagebox.askyesno(
+            spec["title"], spec["message"] + "\n\nOpen results folder?"
+        ):
+            open_in_file_explorer(spec["results_folder"])
+        else:
+            messagebox.showinfo(spec["title"], spec["message"])
+
     def poll() -> None:
         for handle in list(session.workers):
             handle.poll(on_log=log, on_progress=on_progress,
@@ -589,6 +867,8 @@ def launch_gui(config_path=None) -> None:
                     + ("FAILED" if handle.failed else "finished")
                 )
                 session.workers.remove(handle)
+                show_completion(handle)
+                error_lines.clear()
         root.after(250, poll)
 
     def start(step: str) -> None:
@@ -597,10 +877,9 @@ def launch_gui(config_path=None) -> None:
         if selected_step.get() == step:
             for name, var in form_vars.items():
                 options[name] = var.get()
+        error_lines.clear()
         try:
-            handle = session.start_step(
-                step, config_var.get() or None, options=options
-            )
+            handle = session.start_step(step, options=options)
         except (KeyError, ValueError) as exc:
             log(str(exc))
             return
@@ -617,14 +896,15 @@ def launch_gui(config_path=None) -> None:
             buttons, text=step, command=lambda s=step: select_and_start(s)
         ).grid(row=i // 5, column=i % 5, sticky="ew")
 
+    refresh_configs()
     poll()
     root.protocol("WM_DELETE_WINDOW", lambda: (session.stop_all(), root.destroy()))
     root.mainloop()
 
 
 def main(argv=None) -> None:
-    config = argv[0] if argv else (sys.argv[1] if len(sys.argv) > 1 else None)
-    launch_gui(config)
+    configs = list(argv) if argv else sys.argv[1:]
+    launch_gui(configs or None)
 
 
 if __name__ == "__main__":

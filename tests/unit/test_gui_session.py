@@ -39,7 +39,7 @@ def test_session_cache_roundtrip(tmp_path):
     session.save_cache()
 
     restored = GuiSession(cache_path=cache)
-    assert restored.state["config"] == "/some/config.toml"
+    assert restored.config_paths == ["/some/config.toml"]
     assert restored.state["all_images"] is True
 
 
@@ -56,6 +56,7 @@ def _fake_handle():
 
     class DeadProcess:
         pid = -1
+        exitcode = 0  # clean exit; sentinels decide finished/failed
 
         def is_alive(self):
             return False
