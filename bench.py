@@ -138,8 +138,37 @@ def measure_public_api(base_u8: np.ndarray) -> dict:
     float(np.asarray(conc.img[0, 0]))
     elapsed = (time.perf_counter() - tic) / reps
     mpix_s = H * W / 1e6 / elapsed
+
+    # Batched time-series path: the SAME public objects fed an 8-frame
+    # series image — corrections vmap over the time axis (corrections/
+    # base.py) and the concentration pipeline runs vmapped in one
+    # dispatch (concentrationanalysis.py series path), amortizing
+    # per-dispatch overhead across frames (SURVEY §2.12 batched time axis).
+    T = 8
+    series_np = np.stack(
+        [np.roll(base_u8, shift=(2 + k, 3), axis=(0, 1)) for k in range(T)],
+        axis=2,
+    )  # (H, W, T, C)
+    series_dev = jnp.asarray(series_np)
+
+    def run_series():
+        img = da.OpticalImage(
+            series_dev, transformations=[trans, curv], series=True, **meta
+        )
+        return analysis(img.img_as(np.float32))
+
+    float(np.asarray(run_series().img[0, 0, 0]))
+    series_reps = 3
+    tic = time.perf_counter()
+    for _ in range(series_reps):
+        conc_series = run_series()
+    float(np.asarray(conc_series.img[0, 0, 0]))
+    series_elapsed = (time.perf_counter() - tic) / series_reps
+    series_mpix_s = T * H * W / 1e6 / series_elapsed
+
     return {
         "public_api_mpix_s": round(mpix_s, 2),
+        "public_api_series8_mpix_s": round(series_mpix_s, 2),
         "public_api_fuse_err": round(fuse_err, 5),
     }
 

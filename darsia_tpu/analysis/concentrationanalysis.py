@@ -75,6 +75,7 @@ class ConcentrationAnalysis:
     def update(self, base=None, mask=None) -> None:
         """Update the baseline image and/or analysis mask."""
         self._fused = None  # re-trace the fused pipeline on config change
+        self._fused_series = None
         if base is not None:
             if not np.issubdtype(base.img.dtype, np.floating):
                 base = base.img_as(np.float32)
@@ -211,7 +212,10 @@ class ConcentrationAnalysis:
             probe_img = img  # stages are pure; no defensive deep copy
 
         # Fused fast path (one compiled program per image), re-traced when
-        # any component parameter changed (calibration loops).
+        # any component parameter changed (calibration loops).  Time-series
+        # images run the SAME fused pipeline vmapped over the time axis —
+        # one device dispatch for the whole series (SURVEY §2.12: the
+        # reference's per-image batch loop becomes a batched time axis).
         fused = getattr(self, "_fused", None)
         if fused is not False and self.verbosity < 2:
             fingerprint = self._pipeline_fingerprint()
@@ -221,8 +225,31 @@ class ConcentrationAnalysis:
                 if fused is None:
                     fused = self._fused = self._fused_pipeline()
                     self._fused_fingerprint = fingerprint
+                    self._fused_series = None
                 data = jnp.asarray(probe_img.img, dtype=jnp.float32)
-                if self.base is None:
+                if probe_img.series:
+                    t_axis = probe_img.space_dim
+                    batched = getattr(self, "_fused_series", None)
+                    if batched is None:
+                        import jax
+
+                        in_axes = (
+                            (t_axis,)
+                            if self.base is None
+                            else (t_axis, None)
+                        )
+                        batched = self._fused_series = jax.jit(
+                            jax.vmap(
+                                self._fused, in_axes=in_axes, out_axes=t_axis
+                            )
+                        )
+                    if self.base is None:
+                        concentration = batched(data)
+                    else:
+                        concentration = batched(
+                            data, jnp.asarray(self.base.img, dtype=jnp.float32)
+                        )
+                elif self.base is None:
                     concentration = fused(data)
                 else:
                     concentration = fused(
@@ -237,6 +264,14 @@ class ConcentrationAnalysis:
                 )
                 self._fused = False
 
+        if probe_img.series:
+            # Eager fallback: per-slice loop through the eager stages.
+            results = [
+                self(probe_img.time_slice(k)).img
+                for k in range(probe_img.time_num)
+            ]
+            concentration = jnp.stack(results, axis=probe_img.space_dim)
+            return self._package(concentration, img)
         diff = self._subtract_background(probe_img)
         self._inspect(diff, title="Difference")
         concentration = jnp.asarray(self._pipeline_stages(diff))

@@ -137,3 +137,66 @@ class HeterogeneousColorAnalysis(ConcentrationAnalysis):
     def update_color_path_function(self, label: int, function) -> None:
         self.model[0][int(label)] = copy.copy(function)
         self.color_path_functions.append(function)
+
+    # ------------------------------------------------------------------- I/O
+
+    def save(self, path) -> None:
+        """Persist the per-label color-path calibration as JSON
+        (reference heterogeneous_color_analysis.py:861-905): one entry per
+        distinct path — base color, path colors, interpolation values and
+        the labels sharing it."""
+        import json
+        from pathlib import Path
+
+        paths = getattr(self, "color_paths", None)
+        if not paths:
+            raise ValueError(
+                "Nothing to save: run global/local_calibration_colors first."
+            )
+        payload = {}
+        for path_id, color_path in enumerate(paths):
+            payload[str(path_id)] = {
+                "base_color": np.asarray(color_path.base_color).tolist(),
+                "colors": [np.asarray(c).tolist() for c in color_path.colors],
+                "values": [],
+                "labels": [],
+            }
+        labels_arr = np.asarray(self.labels.img)
+        for label in np.unique(labels_arr):
+            path_id = int(self.color_path_associations[int(label)])
+            payload[str(path_id)]["labels"].append(int(label))
+            # Per-label interpolation values live on the label's model;
+            # labels sharing a path share values, so last-writer wins.
+            model = self.model[0][int(label)]
+            payload[str(path_id)]["values"] = [
+                float(v) for v in np.asarray(model.values).ravel()
+            ]
+        out = Path(path).with_suffix(".json")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(payload, indent=2))
+
+    def load(self, path) -> None:
+        """Restore a calibration saved by :meth:`save`."""
+        import json
+        from pathlib import Path
+
+        data = json.loads(Path(path).with_suffix(".json").read_text())
+        labels_arr = np.asarray(self.labels.img)
+        self.color_paths = []
+        self.color_path_associations = np.zeros(
+            np.unique(labels_arr).size, dtype=int
+        )
+        for path_id, entry in data.items():
+            color_path = ColorPath(
+                colors=[np.asarray(c, dtype=float) for c in entry["colors"]],
+                base_color=np.asarray(entry["base_color"], dtype=float),
+                mode="rgb",
+            )
+            self.color_paths.append(color_path)
+            for label in entry["labels"]:
+                self.color_path_associations[int(label)] = int(path_id)
+                self._assign_color_path(int(label), color_path)
+                if entry["values"]:
+                    self.model[0][int(label)].update_model_parameters(
+                        np.asarray(entry["values"], dtype=float)
+                    )

@@ -198,3 +198,52 @@ class TestHeterogeneousColorAnalysis:
         assert out[16, 10] == pytest.approx(0.5, abs=0.05)
         assert out[16, 35] == pytest.approx(1.0, abs=0.05)
         assert out[16, 0] == pytest.approx(0.0, abs=0.05)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        """Per-label color-path calibration persists as JSON and restores
+        into a fresh analysis (reference
+        heterogeneous_color_analysis.py:861-934)."""
+        H, W = 24, 32
+        labels = np.zeros((H, W), np.int32)
+        labels[:, 16:] = 1
+        labels_img = da.Image(labels, width=1.0, height=1.0, scalar=True)
+        base = np.full((H, W, 3), 0.5, np.float32)
+        baseline = da.Image(base, width=1.0, height=1.0, color_space="RGB")
+
+        def make(paths=True):
+            analysis = da.HeterogeneousColorAnalysis(
+                baseline, labels_img, da.ColorMode.RELATIVE
+            )
+            if paths:
+                red = da.ColorPath(
+                    relative_colors=[np.zeros(3), np.array([0.4, 0, 0])],
+                    base_color=np.full(3, 0.5),
+                )
+                green = da.ColorPath(
+                    relative_colors=[np.zeros(3), np.array([0, 0.4, 0])],
+                    base_color=np.full(3, 0.5),
+                )
+                analysis.local_calibration_colors(
+                    0, baseline, None, color_path=red
+                )
+                analysis.local_calibration_colors(
+                    1, baseline, None, color_path=green
+                )
+                analysis.local_calibration_values(1, [0.0, 2.0])
+            return analysis
+
+        calibrated = make()
+        img_arr = base.copy()
+        img_arr[:, 2:12, 0] += 0.2
+        img_arr[:, 20:30, 1] += 0.4
+        img = da.Image(img_arr, width=1.0, height=1.0, color_space="RGB")
+        expected = np.asarray(calibrated(img).img)
+        calibrated.save(tmp_path / "paths")
+
+        fresh = make(paths=False)
+        fresh.load(tmp_path / "paths.json")
+        restored = np.asarray(fresh(img).img)
+        np.testing.assert_allclose(restored, expected, atol=1e-6)
+        # uncalibrated analysis errors on save
+        with pytest.raises(ValueError, match="Nothing to save"):
+            make(paths=False).save(tmp_path / "empty")

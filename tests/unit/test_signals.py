@@ -152,6 +152,40 @@ def test_concentration_analysis_pipeline():
     assert out[:4, :4].mean() < 0.1  # background clean
 
 
+def test_concentration_analysis_time_series_batch():
+    """A series image runs the fused pipeline vmapped over the time axis
+    in ONE dispatch and matches the per-slice results exactly."""
+    base_arr = np.full((24, 24, 3), 0.4, dtype=np.float32)
+    base = da.OpticalImage(base_arr, width=1.0, height=1.0)
+    frames = []
+    for k in range(4):
+        arr = base_arr.copy()
+        arr[4 + 2 * k : 12 + 2 * k, 4:12, 0] += 0.1 * (k + 1)
+        frames.append(arr)
+    series_data = np.stack(frames, axis=2)  # (H, W, T, C)
+    series = da.OpticalImage(
+        series_data, width=1.0, height=1.0, series=True
+    )
+
+    analysis = da.ConcentrationAnalysis(
+        base=base,
+        signal_reduction=da.MonochromaticReduction(color="red"),
+        model=da.LinearModel(scaling=2.0, offset=0.0),
+    )
+    out_series = analysis(series)
+    assert isinstance(out_series, da.ScalarImage)
+    assert out_series.series and out_series.time_num == 4
+    # exact agreement with the per-slice path
+    for k in range(4):
+        single = analysis(series.time_slice(k))
+        np.testing.assert_allclose(
+            np.asarray(out_series.time_slice(k).img),
+            np.asarray(single.img),
+            rtol=0,
+            atol=1e-6,
+        )
+
+
 def test_concentration_cleaning_filter():
     rng = np.random.default_rng(5)
     base1 = da.OpticalImage(
