@@ -225,3 +225,33 @@ class TestEMDMatrixFidelity:
                 r_d = float(r_emd(r_imgs[i], r_imgs[j]))
                 o_d = float(o_emd(o_imgs[i], o_imgs[j]))
                 assert np.isclose(r_d, o_d, rtol=1e-6), (i, j, r_d, o_d)
+
+
+class TestSeriesCorrectionFidelity:
+    def test_series_correction_matches_reference_slice_loop(self, ref):
+        """A time-series image through a correction: the reference walks
+        time slices in Python (basecorrection.py:44-69); ours vmaps the
+        batch over the time axis (corrections/base.py) — results must
+        agree slice for slice."""
+        rng = np.random.default_rng(7)
+        H, W, T = 48, 64, 3
+        series = (rng.random((H, W, T, 3)) * 255).astype(np.uint8)
+        meta = {"width": 1.0, "height": 1.0, "series": True}
+
+        r_img = ref.Image(series.copy(), **meta)
+        o_img = dt.Image(series.copy(), **meta)
+        dx, dy = 1.5, -0.75  # pixel shifts (fractional: exercises interp)
+        r_corr = ref.TranslationCorrection()
+        r_corr.translation = np.array(
+            [[1.0, 0.0, dx], [0.0, 1.0, dy]], dtype=float
+        )
+        r_corr.active = True
+        o_corr = dt.TranslationCorrection([dx, dy])
+        r_out = np.asarray(r_corr(r_img).img, dtype=float)
+        o_out = np.asarray(o_corr(o_img).img, dtype=float)
+        assert r_out.shape == o_out.shape
+        # interior (interpolation boundary handling differs at the edge)
+        inner = (slice(4, -4), slice(4, -4))
+        for t in range(T):
+            diff = np.abs(r_out[:, :, t][inner] - o_out[:, :, t][inner])
+            assert diff.mean() < 2.0  # uint8 scale
