@@ -149,6 +149,23 @@ class ProtocolledExperiment:
         order = np.argsort(seconds)
         return [seconds[i] for i in order], [valid[i] for i in order]
 
+    def iter_available(self, paths: list) -> list:
+        """Usable images as (index, path, datetime) tuples — not
+        blacklisted, with a resolvable protocol datetime (reference
+        experiment.py:279-292)."""
+        available = []
+        for idx, path in enumerate(paths):
+            try:
+                if self.is_blacklisted(path):
+                    continue
+                date = self.get_datetime(path)
+            except (ValueError, KeyError):
+                continue
+            if date is None:
+                continue
+            available.append((idx, path, date))
+        return available
+
     def find_images_for_paths(self, paths: list) -> list:
         return [p for p in paths if not self.is_blacklisted(p)]
 

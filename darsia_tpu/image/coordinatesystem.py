@@ -177,6 +177,11 @@ class CoordinateSystem:
             out[:, pos] = scaling * vectors[:, i] / self.voxel_size[axis]
         return out.reshape(np.asarray(coordinate_vector).shape)
 
+    def pixel_vector(self, coordinate_vector: np.ndarray) -> np.ndarray:
+        """Alias of :meth:`voxel_vector` (the reference declares this seam
+        unimplemented, coordinatesystem.py:267-272; here it works)."""
+        return self.voxel_vector(coordinate_vector)
+
     def __eq__(self, other) -> bool:
         if not isinstance(other, CoordinateSystem):
             return NotImplemented

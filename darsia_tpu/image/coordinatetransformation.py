@@ -99,6 +99,14 @@ class CoordinateTransformation:
             raise ValueError("Empty intersection of domains.")
         return roi
 
+    def correct_metadata(self, image: Image) -> dict:
+        """Metadata of the destination system for a given source image
+        (reference coordinatetransformation.py:186-208)."""
+        meta = dict(image.metadata())
+        meta["dimensions"] = list(self.coordinatesystem_dst.dimensions)
+        meta["origin"] = self.coordinatesystem_dst._coordinate_of_origin_voxel
+        return meta
+
     def __call__(self, img: Image) -> Image:
         """Warp an image into the destination system, cropped to overlap."""
         warped = self.correction(img)

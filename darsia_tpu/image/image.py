@@ -248,6 +248,58 @@ class Image:
             elif self.time is not None:
                 self.time = self.time - delta
 
+    def reset_reference_time(self) -> None:
+        """Pick the first slice's date as the reference date
+        (reference image.py:350-362)."""
+        if self._is_none(self.date):
+            if isinstance(self.time, list) and self.time and self.time[0] is not None:
+                base = self.time[0]
+                self.time = [None if t is None else t - base for t in self.time]
+        else:
+            self.reference_date = (
+                self.date[0] if isinstance(self.date, list) else self.date
+            )
+            self.set_time()
+
+    def append(self, image: "Image", offset=None) -> None:
+        """Append another image along the time axis, making this a series
+        (reference image.py:372-440)."""
+        if self.space_dim != image.space_dim or self.scalar != image.scalar:
+            raise ValueError("Incompatible images for append.")
+        if list(self.num_voxels) != list(image.num_voxels) or not np.allclose(
+            np.asarray(self.dimensions, dtype=float),
+            np.asarray(image.dimensions, dtype=float),
+        ):
+            raise ValueError("Incompatible voxel grids for append.")
+
+        def time_slices(im: "Image") -> list:
+            if im.series:
+                axis = im.space_dim
+                return [
+                    jnp.take(jnp.asarray(im.img), k, axis=axis)
+                    for k in range(im.time_num)
+                ]
+            return [jnp.asarray(im.img)]
+
+        slices = time_slices(self) + time_slices(image)
+        self.img = jnp.stack(slices, axis=self.space_dim)
+        self.series = True
+
+        # Dates concatenate; relative times shift by the given offset.
+        dates = self.date if isinstance(self.date, list) else [self.date]
+        dates = dates + (
+            image.date if isinstance(image.date, list) else [image.date]
+        )
+        self.date = dates
+        if self._is_none(self.time) or self._is_none(image.time) or offset is None:
+            time = None
+        else:
+            time = self.time if isinstance(self.time, list) else [self.time]
+            other = image.time if isinstance(image.time, list) else [image.time]
+            time = time + [t + offset for t in other]
+        self.time_num += image.time_num
+        self.set_time(time)
+
     # -------------------------------------------------------------- metadata
 
     def metadata(self) -> dict:
@@ -293,6 +345,67 @@ class Image:
 
     def img_as(self, data_type) -> "Image":
         return self.astype(data_type)
+
+    def update_metadata(self, meta: Optional[dict] = None, **kwargs) -> None:
+        """Overwrite metadata attributes in place
+        (reference image.py:441-456)."""
+        for key, value in {**(meta or {}), **kwargs}.items():
+            setattr(self, key, value)
+
+    def resize(self, cx: float, cy: Optional[float] = None) -> None:
+        """Rescale the image in place by factors (cx, cy).
+
+        The reference declares this seam and leaves it unimplemented
+        (image.py:458); here it routes through the conservative device
+        resize (restoration/resize.py).
+        """
+        from ..restoration.resize import resize as _resize
+
+        cy = cx if cy is None else cy
+        ny = max(int(round(self.num_voxels[0] * cy)), 1)
+        nx = max(int(round(self.num_voxels[1] * cx)), 1)
+        resized = _resize(self, shape=(ny, nx))
+        self.img = resized.img
+
+    def roi(self, roi) -> "Image":
+        """Extract the spatial subregion of a :class:`~..roi.ROI`
+        (reference image.py:856-866)."""
+        return roi(self)
+
+    def reset_origin(self, return_image: bool = False):
+        """Zero the origin (respecting reversed axes); optionally return a
+        copy carrying the OLD coordinate system (reference image.py:870-894)."""
+        metadata = self.metadata()
+        origin = self.space_dim * [0.0]
+        for index_counter, index in enumerate(self.indexing):
+            axis, reverse_axis = interpret_indexing(
+                index, "xyz"[: self.space_dim]
+            )
+            if reverse_axis:
+                origin[axis] = self.dimensions[index_counter]
+        self.origin = Coordinate(np.asarray(origin, dtype=float))
+        if return_image:
+            return type(self)(img=self.img, **metadata)
+
+    def geometry(self):
+        """Flat :class:`~...measure.integration.Geometry` of this image
+        (reference image.py:1836-1843)."""
+        from ..measure.integration import Geometry
+
+        return Geometry(**self.shape_metadata())
+
+    def integral(self) -> float:
+        """Integrate a scalar single image over space
+        (reference image.py:1845-1856)."""
+        if not self.scalar:
+            raise NotImplementedError(
+                "Integration only implemented for scalar images."
+            )
+        if self.series:
+            raise NotImplementedError(
+                "Integration only implemented for single images."
+            )
+        return float(self.geometry().integrate(self))
 
     # --------------------------------------------------------------- slicing
 
@@ -752,9 +865,68 @@ class ScalarImage(Image):
             raise NotImplementedError(f"Suffix {suffix} not supported.")
         logger.info("Image written to %s.", path)
 
+    def to_csv(
+        self,
+        path: Union[str, Path],
+        *,
+        delimiter: str = ",",
+        header: Optional[str] = None,
+        float_format: str = "{:.2e}",
+    ) -> None:
+        """Write cell-center coordinates + values as CSV rows
+        (reference image.py:1975-2062): one line per voxel,
+        ``x[, y[, z]], value``."""
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        arr = self.as_numpy()
+        if arr.ndim != self.space_dim:
+            raise ValueError(
+                "to_csv requires a non-series scalar image (array rank == "
+                "space_dim)."
+            )
+        if self.space_dim not in (1, 2, 3):
+            raise ValueError("to_csv supports only 1D/2D/3D images.")
+        use_header = None if header is None else str(header).strip()
+        if use_header is not None and use_header.lower() == "none":
+            use_header = None
+        if use_header is not None:
+            columns = [part.strip() for part in use_header.split(delimiter)]
+            if len(columns) != self.space_dim + 1:
+                raise ValueError(
+                    f"CSV header must provide {self.space_dim + 1} columns."
+                )
+        centers = (
+            np.stack(
+                np.meshgrid(*(np.arange(n) for n in arr.shape), indexing="ij"),
+                axis=-1,
+            ).reshape(-1, self.space_dim)
+            + 0.5
+        )
+        coords = np.asarray(
+            self.coordinatesystem.coordinate(centers), dtype=float
+        )
+        fmt = float_format.strip()
+        if fmt.startswith("{:") and fmt.endswith("}"):
+            fmt = "%" + fmt[2:-1]
+        table = np.concatenate(
+            [coords, arr.reshape(-1, 1).astype(float)], axis=1
+        )
+        np.savetxt(
+            path,
+            table,
+            delimiter=delimiter,
+            fmt=fmt,
+            header=use_header or "",
+            comments="",
+        )
+        logger.info("Image written to %s.", path)
 
-class ExtensiveImage(Image):
-    """Image of an extensive (integrable) quantity."""
+
+class ExtensiveImage(ScalarImage):
+    """Image of an extensive (integrable) quantity.
+
+    Inherits the scalar write/export surface (the reference declares
+    ``ExtensiveImage(ScalarImage)``, image.py:2064)."""
 
 
 class OpticalImage(Image):
@@ -872,6 +1044,31 @@ class OpticalImage(Image):
             else []
         )
         cv2.imwrite(str(path), bgr, params)
+
+    def encode(self, suffix: str, **kwargs) -> bytes:
+        """Encode the image to compressed bytes without touching disk
+        (reference image.py:2217-2276) — the streaming-preview payload."""
+        import cv2
+
+        suffix = suffix.lower()
+        if not suffix.startswith("."):
+            suffix = "." + suffix
+        data = self.as_numpy()
+        if np.issubdtype(data.dtype, np.floating):
+            data = (np.clip(data, 0, 1) * 255).astype(np.uint8)
+        bgr = data[..., ::-1]
+        if suffix in (".jpg", ".jpeg"):
+            params = [int(cv2.IMWRITE_JPEG_QUALITY), kwargs.get("quality", 90)]
+        elif suffix == ".png":
+            params = [
+                int(cv2.IMWRITE_PNG_COMPRESSION), kwargs.get("compression", 6)
+            ]
+        else:
+            params = []
+        ok, buf = cv2.imencode(suffix, bgr, params)
+        if not ok:
+            raise ValueError(f"Encoding to {suffix} failed.")
+        return bytes(buf.tobytes())
 
 
 # Register Image and subclasses as JAX pytrees.

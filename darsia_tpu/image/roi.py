@@ -75,3 +75,7 @@ class ROI:
         return image.subregion(
             make_coordinate([[min_x, min_y], [max_x, max_y]])
         )
+
+    # ROIs are callable on images (reference usage: ``image.roi(roi)``
+    # delegates to ``roi(image)``, image.py:856-866).
+    __call__ = extract_subregion

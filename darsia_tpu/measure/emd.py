@@ -40,6 +40,17 @@ class EMD:
         distance, _, _ = cv2.EMD(sig_1, sig_2, cv2.DIST_L2)
         return float(distance) * integral * cell_volume
 
+    def distance_matrix(self, images: list) -> np.ndarray:
+        """Symmetric N x N matrix of pairwise EMDs
+        (reference emd.py:206-236)."""
+        n = len(images)
+        matrix = np.zeros((n, n), dtype=float)
+        for i in range(n):
+            for j in range(i + 1, n):
+                matrix[i, j] = self(images[i], images[j])
+                matrix[j, i] = matrix[i, j]
+        return matrix
+
     def _compatibility_check(self, img_1, img_2) -> None:
         assert img_1.space_dim == 2 and img_2.space_dim == 2
         assert img_1.scalar and img_2.scalar

@@ -127,6 +127,25 @@ class SimpleFlash:
         if max_value_g is not None:
             self.max_value_g = float(max_value_g)
 
+    def to_dict(self) -> dict:
+        """Parameter dict (reference flash.py:212-224)."""
+        return {
+            "min_value_aq": self.min_value_aq,
+            "max_value_aq": self.max_value_aq,
+            "min_value_g": self.min_value_g,
+            "max_value_g": self.max_value_g,
+        }
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "SimpleFlash":
+        """Inverse of :meth:`to_dict` (reference flash.py:226-239)."""
+        return cls(
+            min_value_aq=data["min_value_aq"],
+            max_value_aq=data.get("max_value_aq"),
+            min_value_g=data.get("min_value_g"),
+            max_value_g=data.get("max_value_g"),
+        )
+
     def save(self, path) -> None:
         path = Path(path).with_suffix(".npz")
         path.parent.mkdir(parents=True, exist_ok=True)

@@ -59,6 +59,21 @@ class FluidFlowerCO2Meta:
             else None
         )
 
+    def update(self, key: str, path: Path) -> None:
+        """Redirect a managed folder path (reference
+        fluidflower_co2_meta.py:264-278)."""
+        if key == "fluidflower":
+            self.fluidflower_folder = Path(path)
+        elif key == "labels":
+            self.labels = Path(path)
+        else:
+            raise ValueError(f"Key {key} not recognized.")
+
     @staticmethod
     def load_meta(meta: Path) -> dict:
-        return tomllib.loads(Path(meta).read_text())
+        meta = Path(meta)
+        if meta.suffix == ".json":
+            import json
+
+            return json.loads(meta.read_text())
+        return tomllib.loads(meta.read_text())

@@ -211,6 +211,28 @@ class CO2MassAnalysis:
             hydrostatic_pressure, temperature_map
         )
 
+    def setup_20_degrees_celsius(self) -> None:
+        """Isothermal 20 °C lookup tables (reference
+        mass_analysis.py:127-206 ships hardcoded NIST rows; here the rows
+        come from the EOS that is validated against NIST to <0.05%,
+        docs/fidelity.md)."""
+        pressures = np.array([0.90 + 0.01 * i for i in range(61)])
+        self.water_density_20 = float(water_density(20.0))
+        self.data_NIST_20 = (
+            pressures.tolist(),
+            [float(co2_gas_density(p, 20.0)) for p in pressures],
+        )
+
+    def setup_23_degrees_celsius(self) -> None:
+        """Isothermal 23 °C lookup tables (see
+        :meth:`setup_20_degrees_celsius`)."""
+        pressures = np.array([0.90 + 0.01 * i for i in range(61)])
+        self.water_density_23 = float(water_density(23.0))
+        self.data_NIST_23 = (
+            pressures.tolist(),
+            [float(co2_gas_density(p, 23.0)) for p in pressures],
+        )
+
     def log(self, path: Path) -> None:  # pragma: no cover - visual
         import matplotlib.pyplot as plt
 

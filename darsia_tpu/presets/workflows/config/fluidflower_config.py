@@ -141,6 +141,22 @@ class FluidFlowerConfig:
             hint="video",
         )
 
+    def load_meta(self, meta) -> dict:
+        """Load auxiliary metadata from a JSON or TOML file
+        (reference fluidflower_config.py:337-346)."""
+        from pathlib import Path as _Path
+
+        meta = _Path(meta)
+        if meta.suffix == ".json":
+            import json
+
+            return json.loads(meta.read_text())
+        if meta.suffix == ".toml":
+            import tomllib
+
+            return tomllib.loads(meta.read_text())
+        raise ValueError(f"Unsupported meta file format: {meta.suffix}")
+
     def check(self, *sections: str) -> None:
         """Assert that the given sections were present in the TOML config."""
         missing = [s for s in sections if getattr(self, s, None) is None]

@@ -87,12 +87,63 @@ class ColorRange:
         self,
         min_color: Optional[np.ndarray] = None,
         max_color: Optional[np.ndarray] = None,
+        color_mode=None,
     ) -> None:
         self.min_color = (
-            np.zeros(3) if min_color is None else np.asarray(min_color, float)
+            np.zeros(3) if min_color is None else np.asarray(min_color, float).ravel()
         )
         self.max_color = (
-            np.ones(3) if max_color is None else np.asarray(max_color, float)
+            np.ones(3) if max_color is None else np.asarray(max_color, float).ravel()
+        )
+        if color_mode is None:
+            from .color_mode import ColorMode
+
+            color_mode = ColorMode.ABSOLUTE
+        self.color_mode = color_mode
+
+    @classmethod
+    def from_images(cls, images, baseline=None, mask=None, **kwargs):
+        """Bounding color box over a set of (optionally baseline-relative,
+        masked) images (reference color_range.py:52-93)."""
+        from .color_mode import ColorMode
+
+        min_color = np.full(3, np.inf)
+        max_color = np.full(3, -np.inf)
+        color_mode = ColorMode.ABSOLUTE
+        for image in images:
+            array = np.asarray(image.img if hasattr(image, "img") else image)
+            if baseline is not None:
+                array = array - np.asarray(baseline.img)
+                color_mode = ColorMode.RELATIVE
+            if mask is not None:
+                mask_arr = np.asarray(
+                    mask.img if hasattr(mask, "img") else mask, dtype=bool
+                )
+                array = array[mask_arr]
+            flat = array.reshape(-1, 3)
+            min_color = np.minimum(min_color, flat.min(axis=0))
+            max_color = np.maximum(max_color, flat.max(axis=0))
+        return cls(min_color, max_color, color_mode=color_mode)
+
+    def to_dict(self) -> dict:
+        """Serializable dict (reference color_range.py:113-124)."""
+        return {
+            "min_color": self.min_color.tolist(),
+            "max_color": self.max_color.tolist(),
+            "color_mode": getattr(self.color_mode, "name", str(self.color_mode)),
+        }
+
+    @classmethod
+    def load_from_dict(cls, data: dict) -> "ColorRange":
+        """Inverse of :meth:`to_dict` (reference color_range.py:143-156)."""
+        from .color_mode import ColorMode
+
+        return cls(
+            np.asarray(data["min_color"]),
+            np.asarray(data["max_color"]),
+            color_mode=ColorMode[data["color_mode"]]
+            if "color_mode" in data
+            else None,
         )
 
     def fit(self, colors: np.ndarray, expand: float = 0.0) -> "ColorRange":
@@ -167,6 +218,74 @@ class DiscreteColorRange(ColorRange):
         if self.occupancy:
             lookup[np.fromiter(self.occupancy, dtype=np.int64)] = True
         return lookup[ids] & self._in_box(colors)
+
+    # -- quantization helpers (reference discrete_color_range.py:41-115;
+    # the reference accelerates them with numba, here they are vectorized
+    # numpy over the module-level converters) --
+
+    def color_to_index(self, color: np.ndarray) -> np.ndarray:
+        """Color array (N, 3) -> per-channel raster indices (N, 3)."""
+        color = np.asarray(color, dtype=float)
+        squeeze = color.ndim == 1
+        indices = color_to_index(
+            color.reshape(-1, 3), self.resolution, self.min_color, self.max_color
+        )
+        return indices[0] if squeeze else indices
+
+    def flatten_index(self, index: np.ndarray) -> np.ndarray:
+        """Per-channel indices -> flat raster index."""
+        index = np.asarray(index)
+        squeeze = index.ndim == 1
+        flat = flatten_index(index.reshape(-1, 3), self.resolution)
+        return flat[0] if squeeze else flat
+
+    def flat_color_index(self, color: np.ndarray) -> np.ndarray:
+        """Color array -> flat raster indices (compose the two above)."""
+        return self.flatten_index(self.color_to_index(color))
+
+    @classmethod
+    def from_images(
+        cls, images, baseline=None, mask=None, resolution: int = 51, **kwargs
+    ) -> "DiscreteColorRange":
+        """Occupancy grid over the colors observed in images
+        (ColorRange.from_images + quantized fit)."""
+        box = ColorRange.from_images(images, baseline=baseline, mask=mask)
+        out = cls(resolution)
+        out.color_mode = box.color_mode
+        samples = []
+        for image in images:
+            array = np.asarray(image.img if hasattr(image, "img") else image)
+            if baseline is not None:
+                array = array - np.asarray(baseline.img)
+            if mask is not None:
+                mask_arr = np.asarray(
+                    mask.img if hasattr(mask, "img") else mask, dtype=bool
+                )
+                array = array[mask_arr]
+            samples.append(array.reshape(-1, 3))
+        out.fit(np.concatenate(samples, axis=0))
+        return out
+
+    def to_dict(self) -> dict:
+        return {
+            "min_color": self.min_color.tolist(),
+            "max_color": self.max_color.tolist(),
+            "color_mode": getattr(self.color_mode, "name", str(self.color_mode)),
+            "resolution": self.resolution,
+            "occupancy": sorted(self.occupancy),
+        }
+
+    @classmethod
+    def load_from_dict(cls, data: dict) -> "DiscreteColorRange":
+        out = cls(int(data["resolution"]))
+        out.min_color = np.asarray(data["min_color"], float)
+        out.max_color = np.asarray(data["max_color"], float)
+        out.occupancy = set(int(i) for i in data.get("occupancy", []))
+        if "color_mode" in data:
+            from .color_mode import ColorMode
+
+            out.color_mode = ColorMode[data["color_mode"]]
+        return out
 
     def expand(self, iterations: int = 1) -> "DiscreteColorRange":
         """Morphologically dilate the occupancy in quantized color space."""
@@ -291,6 +410,37 @@ class ColorSpectrum(DiscreteColorRange):
             self.counts.values(), dtype=float, count=len(self.counts)
         )
         return vals / max(vals.sum(), 1.0)
+
+    def distance(self, color: np.ndarray):
+        """Minimum Euclidean distance of (relative) colors to the occupied
+        spectrum (reference color_spectrum.py:85-103); 0.0 when empty."""
+        spectrum = self.relative_colors
+        if len(spectrum) == 0:
+            return 0.0
+        color = np.asarray(color, dtype=float)
+        if color.ndim == 1:
+            return float(np.min(np.linalg.norm(spectrum - color, axis=1)))
+        flat = color.reshape(-1, 3)
+        dists = np.min(
+            np.linalg.norm(flat[:, None, :] - spectrum[None, :, :], axis=-1),
+            axis=1,
+        )
+        return dists.reshape(color.shape[:-1])
+
+    def in_spectrum(self, colors: np.ndarray, color_mode) -> np.ndarray:
+        """Membership of colors in the occupied bins
+        (reference color_spectrum.py:165-194); quantized comparison (bin
+        resolution) instead of the reference's exact allclose loop."""
+        from .color_mode import ColorMode
+
+        colors = np.asarray(colors, dtype=float)
+        if color_mode == ColorMode.RELATIVE:
+            check = colors
+        elif color_mode == ColorMode.ABSOLUTE:
+            check = colors - self.base_color
+        else:
+            raise ValueError(f"Unsupported color mode: {color_mode}")
+        return self.contains(check)
 
     def to_dict(self) -> dict:
         return {

@@ -69,6 +69,14 @@ class KernelInterpolation(Model):
         else:
             warn("No input data given. Interpolation weights not updated.")
 
+    def update_kernel(self, kernel: BaseKernel) -> None:
+        """Swap the kernel and refactor the interpolation system
+        (reference kernelinterpolation.py:99-106)."""
+        self.kernel = kernel
+        self._Xinv = None
+        if self.supports is not None and self.values is not None:
+            self.update_interpolation()
+
     def setup_kernel_problem(self) -> None:
         """Reduce to unique supports and factor the dense kernel matrix."""
         assert len(self.values) == self.num_supports, (
@@ -147,3 +155,50 @@ class AdvancedKernelInterpolation(KernelInterpolation):
             supports = np.vstack((self.fixed_supports, np.asarray(supports)))
             values = np.hstack((self.fixed_values, np.asarray(values)))
         super().update(kernel=kernel, supports=supports, values=values, append=append)
+
+    def update_advanced(
+        self,
+        fixed_supports=None,
+        fixed_values=None,
+        variable_supports=None,
+        variable_values=None,
+    ) -> None:
+        """Partial update of the fixed/variable support split
+        (reference kernelinterpolation.py:208-262)."""
+        if fixed_supports is not None or fixed_values is not None:
+            self.fix_supports(
+                self.fixed_supports if fixed_supports is None else fixed_supports,
+                self.fixed_values if fixed_values is None else fixed_values,
+            )
+        if variable_supports is not None:
+            self.variable_supports = np.asarray(
+                variable_supports, dtype=np.float32
+            )
+            self.num_variable_supports = self.variable_supports.shape[0]
+        if variable_values is not None:
+            self.variable_values = np.asarray(variable_values)
+        var_supports = getattr(self, "variable_supports", None)
+        var_values = getattr(self, "variable_values", None)
+        if var_supports is not None and var_values is not None:
+            # Rebuild from the fixed base + current variable set (no append:
+            # super().update prepends the fixed supports itself).
+            self.update(supports=var_supports, values=var_values)
+
+    @property
+    def num_variable_supports(self) -> int:
+        return getattr(self, "_num_variable_supports", 0)
+
+    @num_variable_supports.setter
+    def num_variable_supports(self, value: int) -> None:
+        self._num_variable_supports = int(value)
+
+    def update_variable_model_parameters(self, parameters) -> None:
+        """Calibration hook: new values on the variable supports only
+        (reference kernelinterpolation.py:264-270)."""
+        parameters = np.asarray(parameters)
+        if len(parameters) != self.num_variable_supports:
+            raise ValueError(
+                f"Expected {self.num_variable_supports} parameters, got "
+                f"{len(parameters)}."
+            )
+        self.update_advanced(variable_values=parameters)

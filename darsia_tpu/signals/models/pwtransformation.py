@@ -49,6 +49,12 @@ class PWTransformation:
         diff = np.diff(self.values)
         assert np.all(diff > -1e-12), f"monotonicity broken {diff}"
 
+    def values_from_diff(self, values_diff) -> np.ndarray:
+        """Node values from segment increments: ``[0, cumsum(diff)]``
+        (the reference declares this seam but leaves it dead,
+        pwtransformation.py:65-67; here it works and feeds update())."""
+        return np.hstack(([0.0], np.cumsum(np.asarray(values_diff, float))))
+
     def __call__(self, img):
         assert self.supports is not None and self.values is not None, (
             "Interpolator not set."

@@ -76,6 +76,81 @@ class FeatureDetection:
             return np.asarray(rgb_to_gray(jnp.asarray(arr, dtype=jnp.float32)))
         return arr.astype(np.float32)
 
+    @classmethod
+    def extract_features(
+        cls,
+        img,
+        roi: Optional[tuple] = None,
+        mask: Optional[np.ndarray] = None,
+        max_features: int = 200,
+    ) -> tuple:
+        """Extract (keypoints, patch descriptors) from an image region
+        (reference features.py:21-88, ORB → Harris + window signature).
+
+        Returns a tuple ``(keypoints (N, 2) row/col, descriptors (N, D))``.
+        """
+        gray = cls._gray(img)
+        if roi is not None:
+            gray = gray[roi]
+        if mask is not None:
+            gray = np.where(
+                np.asarray(mask, dtype=bool)[: gray.shape[0], : gray.shape[1]],
+                gray,
+                0.0,
+            )
+        keypoints = harris_corners(gray, max_features)
+        # Descriptor: normalized 8x8 intensity patch around each corner.
+        half = 4
+        padded = np.pad(gray, half, mode="edge")
+        descriptors = np.stack(
+            [
+                padded[r : r + 2 * half, c : c + 2 * half].ravel()
+                for r, c in keypoints
+            ]
+        ) if len(keypoints) else np.zeros((0, 64), dtype=np.float32)
+        if len(descriptors):
+            descriptors = descriptors - descriptors.mean(axis=1, keepdims=True)
+            norms = np.linalg.norm(descriptors, axis=1, keepdims=True)
+            descriptors = descriptors / np.maximum(norms, 1e-12)
+        return keypoints.astype(float), descriptors.astype(np.float32)
+
+    @classmethod
+    def match_features(
+        cls,
+        features_src: tuple,
+        features_dst: tuple,
+        keep_percent: float = 0.1,
+        return_matches: bool = False,
+    ) -> tuple:
+        """Match feature sets by descriptor correlation
+        (reference features.py:90-160, BFMatcher → dense argmax matching).
+
+        Returns ``(pts_src, pts_dst)`` of the kept matches, plus the match
+        index pairs when ``return_matches``.
+        """
+        kp_src, desc_src = features_src
+        kp_dst, desc_dst = features_dst
+        if len(kp_src) == 0 or len(kp_dst) == 0:
+            empty = np.zeros((0, 2))
+            return (empty, empty, np.zeros((0, 2), int)) if return_matches \
+                else (empty, empty)
+        score = desc_src @ desc_dst.T  # cosine similarity
+        best = np.argmax(score, axis=1)
+        quality = score[np.arange(len(kp_src)), best]
+        # Mutual best + keep strongest fraction (reference keep_percent).
+        mutual = np.argmax(score, axis=0)[best] == np.arange(len(kp_src))
+        order = np.argsort(quality)[::-1]
+        keep = max(int(np.ceil(keep_percent * len(order))), 1)
+        selected = np.array(
+            [i for i in order[: 10 * keep] if mutual[i]][:keep], dtype=int
+        )
+        pts_src = np.asarray(kp_src, dtype=float)[selected]
+        pts_dst = np.asarray(kp_dst, dtype=float)[best[selected]]
+        if return_matches:
+            matches = np.stack([selected, best[selected]], axis=1)
+            return pts_src, pts_dst, matches
+        return pts_src, pts_dst
+
     def find_matches(
         self,
         img_src,

@@ -265,3 +265,141 @@ def test_time_slicing_metadata_edge_cases():
     interval = img.time_interval(slice(1, 4))
     assert interval.time == [60.0, 120.0, 180.0]
     assert interval.date == dates[1:4]
+
+
+def test_append_builds_series():
+    """Appending single images builds a time series with stacked data and
+    concatenated dates/times (reference image.py:372-440)."""
+    from datetime import datetime
+
+    a = da.ScalarImage(
+        np.ones((8, 10), np.float32), width=1.0, height=1.0,
+        date=datetime(2026, 1, 1, 12, 0, 0), time=0.0,
+    )
+    b = da.ScalarImage(
+        2 * np.ones((8, 10), np.float32), width=1.0, height=1.0,
+        date=datetime(2026, 1, 1, 12, 10, 0), time=0.0,
+    )
+    a.append(b, offset=600.0)
+    assert a.series and a.time_num == 2
+    assert a.img.shape == (8, 10, 2)
+    assert np.asarray(a.time_slice(0).img).max() == 1.0
+    assert np.asarray(a.time_slice(1).img).min() == 2.0
+    assert a.time == [0.0, 600.0]
+    # shape mismatch rejected
+    c = da.ScalarImage(np.ones((4, 10), np.float32), width=1.0, height=1.0)
+    with pytest.raises(ValueError):
+        a.append(c)
+
+
+def test_reset_reference_time():
+    from datetime import datetime
+
+    dates = [datetime(2026, 1, 1, 12, 0, k) for k in (30, 40, 50)]
+    img = da.ScalarImage(
+        np.zeros((4, 4, 3), np.float32), width=1.0, height=1.0,
+        series=True, date=dates,
+        reference_date=datetime(2026, 1, 1, 12, 0, 0),
+    )
+    assert img.time == [30.0, 40.0, 50.0]
+    img.reset_reference_time()
+    assert img.time == [0.0, 10.0, 20.0]
+    assert img.reference_date == dates[0]
+
+
+def test_update_metadata(optical):
+    optical.update_metadata({"name": "renamed"}, series=False)
+    assert optical.name == "renamed"
+
+
+def test_geometry_and_integral():
+    img = da.ScalarImage(
+        np.full((10, 20), 3.0, np.float32), width=2.0, height=1.0
+    )
+    geom = img.geometry()
+    # integral = mean * area
+    assert img.integral() == pytest.approx(3.0 * 2.0 * 1.0)
+    assert float(geom.integrate(img)) == pytest.approx(6.0)
+    # non-scalar refuses
+    rgb = da.OpticalImage(np.zeros((4, 4, 3), np.float32), width=1, height=1)
+    with pytest.raises(NotImplementedError):
+        rgb.integral()
+
+
+def test_image_resize_in_place(optical):
+    H, W = optical.num_voxels
+    optical.resize(0.5)
+    assert optical.num_voxels == [H // 2, W // 2]
+    # physical dimensions unchanged
+    assert optical.dimensions[0] == pytest.approx(1.0)
+    assert optical.dimensions[1] == pytest.approx(2.0)
+
+
+def test_image_roi_callable():
+    img = da.ScalarImage(
+        np.arange(200, dtype=np.float32).reshape(10, 20),
+        width=2.0, height=1.0,
+    )
+    roi = da.ROI([[0.5, 0.25], [1.5, 0.25], [1.5, 0.75], [0.5, 0.75]])
+    sub = img.roi(roi)
+    assert sub.num_voxels[0] < 10 and sub.num_voxels[1] < 20
+    # callable form agrees
+    sub2 = roi(img)
+    assert np.array_equal(np.asarray(sub.img), np.asarray(sub2.img))
+
+
+def test_reset_origin():
+    img = da.ScalarImage(
+        np.zeros((6, 8), np.float32), width=2.0, height=1.0
+    )
+    old = img.copy()
+    returned = img.reset_origin(return_image=True)
+    # returned copy keeps the old system; self reset to reversed-axis origin
+    assert np.allclose(np.asarray(returned.origin), np.asarray(old.origin))
+    assert np.asarray(img.origin)[1] == pytest.approx(1.0)
+
+
+def test_scalar_to_csv(tmp_path):
+    img = da.ScalarImage(
+        np.arange(6, dtype=np.float32).reshape(2, 3), width=3.0, height=2.0
+    )
+    out = tmp_path / "cells.csv"
+    img.to_csv(out, header="x,y,value", float_format="{:.4e}")
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "x,y,value"
+    assert len(lines) == 1 + 6
+    first = [float(v) for v in lines[1].split(",")]
+    # first voxel center: x=0.5, y=1.5 (top row), value 0
+    assert first == pytest.approx([0.5, 1.5, 0.0])
+    with pytest.raises(ValueError):
+        img.to_csv(out, header="onlyone")
+
+
+def test_optical_encode_roundtrip(optical):
+    import cv2
+
+    payload = optical.encode(".png")
+    assert isinstance(payload, bytes) and len(payload) > 0
+    decoded = cv2.imdecode(
+        np.frombuffer(payload, np.uint8), cv2.IMREAD_UNCHANGED
+    )[..., ::-1]
+    expected = (np.clip(optical.as_numpy(), 0, 1) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(decoded, expected)
+    # jpg is lossy but close
+    jpg = optical.encode("jpg", quality=95)
+    assert isinstance(jpg, bytes) and len(jpg) > 0
+
+
+def test_pixel_vector_inverts_coordinate_vector(optical):
+    cs = optical.coordinatesystem
+    vec = np.array([[3.0, -2.0], [0.0, 5.0]])
+    back = cs.pixel_vector(cs.coordinate_vector(vec))
+    np.testing.assert_allclose(back, vec, atol=1e-12)
+
+
+def test_extensive_image_is_scalar_image():
+    ext = da.ExtensiveImage(
+        np.ones((4, 5), np.float32), width=1.0, height=1.0
+    )
+    assert isinstance(ext, da.ScalarImage)
+    assert ext.scalar
