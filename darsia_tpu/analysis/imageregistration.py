@@ -60,6 +60,42 @@ class DiffeomorphicImageRegistration:
             return transformed, dst
         return transformed
 
+    def call_with_output(
+        self,
+        img: Image,
+        plot_patch_translation: bool = False,
+        return_patch_translation: bool = False,
+        mask=None,
+    ):
+        """Register and optionally return/plot the patch translations
+        (reference imageregistration.py:127-199)."""
+        transformed = self(img, mask=mask)
+        if plot_patch_translation:  # pragma: no cover - visual
+            self.plot()
+        if return_patch_translation:
+            patch_translation = (
+                self.translation_analysis.return_patch_translation(
+                    reverse=True
+                )
+            )
+            return transformed, patch_translation
+        return transformed
+
+    def plot(self, scaling: float = 1.0, mask=None) -> None:
+        """Quiver plot of the registered deformation
+        (reference imageregistration.py:247-263)."""
+        self.translation_analysis.plot_translation(
+            reverse=False, scaling=scaling, mask=mask
+        )
+
+    def displacement(self) -> np.ndarray:
+        """Dense displacement field (2, H, W) in voxel units
+        (reference imageregistration.py:265-307)."""
+        shape = tuple(self.translation_analysis.base.num_voxels[:2])
+        return np.asarray(
+            self.translation_analysis.displacement_field(shape)
+        )
+
     def apply(self, img: Image, reverse: bool = True) -> Image:
         """Apply the registered deformation to another image."""
         return self.translation_analysis.translate_image(img, reverse=reverse)
@@ -190,6 +226,11 @@ class ImageRegistration:
     def evaluate(self, points, units: str = "metric") -> np.ndarray:
         """Sample the displacement field at points."""
         return self._engine.evaluate(points, units=units)
+
+    def plot(self, scaling: float = 1.0, mask=None) -> None:
+        """Quiver plot of the registered deformation
+        (reference imageregistration.py:460-489)."""
+        self._engine.plot(scaling=scaling, mask=mask)
 
     def displacement(self) -> np.ndarray:
         """Dense displacement field (2, H, W) in voxel units."""

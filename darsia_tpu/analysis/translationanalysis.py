@@ -247,6 +247,42 @@ class TranslationAnalysis:
             disp = np.stack([disp[:, 0] * vs[1], -disp[:, 1] * vs[0]], axis=1)
         return disp.reshape((*self.N_patches, 2))
 
+    def plot_translation(
+        self,
+        reverse: bool = False,
+        scaling: float = 1.0,
+        mask: Optional[Image] = None,
+    ) -> None:  # pragma: no cover - visual
+        """Quiver plot of the patch-center displacements over the base
+        image (reference translationanalysis.py:560-615)."""
+        import matplotlib.pyplot as plt
+
+        disp = self.return_patch_translation(reverse=reverse, units="pixel")
+        centers = self.patches_base.centers_voxels.reshape(-1, 2)
+        flat = disp.reshape(-1, 2)
+        fig, ax = plt.subplots(num="translation analysis")
+        base = np.asarray(self.base.img)
+        if mask is not None:
+            base = np.where(
+                np.asarray(mask.img, dtype=bool)[..., None]
+                if base.ndim == 3
+                else np.asarray(mask.img, dtype=bool),
+                base,
+                0,
+            )
+        ax.imshow(base if base.ndim == 2 else np.clip(base, 0, 1))
+        ax.quiver(
+            centers[:, 1],
+            centers[:, 0],
+            scaling * flat[:, 0],
+            -scaling * flat[:, 1],
+            color="white",
+            angles="xy",
+            scale_units="xy",
+            scale=1,
+        )
+        plt.show()
+
     # ----------------------------------------------------------- application
 
     def displacement_field(self, shape) -> jnp.ndarray:

@@ -100,6 +100,18 @@ class PatchwiseIlluminationCorrection(BaseCorrection):
         extension = jnp.broadcast_to(avg_top, (top_rows, *corr.shape[1:]))
         return jnp.concatenate([extension, corr], axis=0)
 
+    def extract_color_values_patches(self, image, full: bool):
+        """Per-patch RGB medians as separate (nh, nw) R/G/B matrices
+        (reference patchwiseilluminationcorrection.py:105-174; computed by
+        the device patch-mean kernel instead of a per-patch Python loop)."""
+        means = np.asarray(self._patch_means(self._load(image), full))
+        return means[..., 0], means[..., 1], means[..., 2]
+
+    def extend_correction_coefficients(self, corr) -> np.ndarray:
+        """Extend lower-region coefficients to the full image height
+        (reference patchwiseilluminationcorrection.py:176-192)."""
+        return np.asarray(self._extend(jnp.asarray(corr, jnp.float32)))
+
     def compute_correction(self, coefficient_list, coefficient_mean_list):
         """Correction coefficients from baseline patch grids (parity API)."""
         stacked = jnp.stack([jnp.asarray(c) for c in coefficient_list])

@@ -72,6 +72,102 @@ class RelativeColorCorrection(BaseCorrection):
         self.data.append((np.asarray(coordinates, float), np.asarray(colors, float)))
         self.reference_data.append(np.asarray(reference_color, float))
 
+    # -- sample-selection front-ends (reference
+    # relativecolorcorrection.py:116-251).  The reference's are purely
+    # interactive; here explicit ``samples`` (lists of slice tuples, the
+    # BoxSelectionAssistant output format) enable headless use, and the
+    # interactive assistant runs only when samples are omitted.
+
+    @staticmethod
+    def _sample_centers_and_colors(img, samples, debug: bool = False):
+        from ...utils.extractcharacteristicdata import (
+            extract_characteristic_data,
+        )
+
+        mid = lambda s: int(0.5 * (s.start + s.stop))  # noqa: E731
+        centers = np.array([[mid(s[0]), mid(s[1])] for s in samples])
+        colors = extract_characteristic_data(
+            signal=np.asarray(img.img), samples=samples, show_plot=debug
+        )
+        return centers, np.asarray(colors)
+
+    def define_similar_colors(self, samples_per_image=None) -> None:
+        """Collect groups of similar colors across the calibration images
+        (reference relativecolorcorrection.py:116-151)."""
+        from ...assistants import BoxSelectionAssistant
+
+        width = self.config.get("sample_size", 50)
+        debug = self.config.get("debug", False)
+        voxels, colors = [], []
+        for k, img in enumerate(self.calibration_images):
+            if samples_per_image is not None:
+                samples = samples_per_image[k]
+            else:  # pragma: no cover - interactive
+                samples = BoxSelectionAssistant(img, width=width)()
+            centers, sample_colors = self._sample_centers_and_colors(
+                img, samples, debug
+            )
+            voxels.append(centers)
+            colors.append(sample_colors)
+        cs = self.calibration_images[0].coordinatesystem
+        for vox, col in zip(voxels, colors):
+            coords = np.asarray(cs.coordinate(vox), dtype=float)
+            self.data.append((coords, np.asarray(col, float)))
+
+    def define_reference_color(self, samples=None) -> None:
+        """Pick the reference color from the first calibration image
+        (reference relativecolorcorrection.py:153-178)."""
+        from ...assistants import BoxSelectionAssistant
+
+        width = self.config.get("sample_size", 50)
+        debug = self.config.get("debug", False)
+        img = self.calibration_images[0]
+        if samples is None:  # pragma: no cover - interactive
+            samples = BoxSelectionAssistant(img, width=width)()
+        assert len(samples) > 0, "No samples selected."
+        _, colors = self._sample_centers_and_colors(img, samples[:1], debug)
+        self.reference_data.append(np.asarray(colors[0], float))
+
+    def define_similar_and_reference_colors_tensorial(
+        self, reference_samples=None, location_samples=None
+    ) -> None:
+        """Two-stage tensorial sampling: a grid of distinct colors on one
+        checker + the same grid repeated across the image; the stage-1
+        colors serve as references (reference
+        relativecolorcorrection.py:180-251)."""
+        from ...assistants import BoxSelectionAssistant
+
+        width = self.config.get("sample_size", 50)
+        debug = self.config.get("debug", False)
+        img = self.calibration_images[0]
+        if reference_samples is None:  # pragma: no cover - interactive
+            reference_samples = BoxSelectionAssistant(img, width=width)()
+        if location_samples is None:  # pragma: no cover - interactive
+            location_samples = BoxSelectionAssistant(img, width=width)()
+        ref_centers, ref_colors = self._sample_centers_and_colors(
+            img, reference_samples, debug
+        )
+        loc_centers, _ = self._sample_centers_and_colors(
+            img, location_samples, debug
+        )
+        # Tensorial fill-in: each reference color is observed at every
+        # location, displaced by the checker-internal offset.
+        cs = img.coordinatesystem
+        origin = ref_centers[0]
+        data = np.asarray(img.img)
+        for ref_center, ref_color in zip(ref_centers, ref_colors):
+            offset = ref_center - origin
+            voxels = loc_centers + offset[None, :]
+            voxels = np.clip(
+                voxels,
+                0,
+                np.asarray(data.shape[:2]) - 1,
+            ).astype(int)
+            colors = data[voxels[:, 0], voxels[:, 1], :]
+            coords = np.asarray(cs.coordinate(voxels), dtype=float)
+            self.data.append((coords, np.asarray(colors, float)))
+            self.reference_data.append(np.asarray(ref_color, float))
+
     def calibrate(self) -> None:
         """LS-fit the polynomial coefficients of the 3x3 correction field.
 

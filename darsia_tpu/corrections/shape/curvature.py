@@ -193,6 +193,16 @@ class CurvatureCorrection(BaseCorrection):
 
     # ----------------------------------------- interactive tuning wrappers
 
+    def show_image(self) -> None:  # pragma: no cover - visual
+        """Show the current tuning image (reference curvature.py:358-363)."""
+        import matplotlib.pyplot as plt
+
+        img = np.asarray(self.current_image)
+        if np.issubdtype(img.dtype, np.floating):
+            img = np.clip(img, 0, 1)
+        plt.imshow(img)
+        plt.show()
+
     def pre_bulge_correction(self, **kwargs) -> None:
         """Set the 'init' bulge step and apply it to the tuning image."""
         self.config["init"] = {

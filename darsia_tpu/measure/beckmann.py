@@ -339,6 +339,59 @@ class BeckmannProblem:
     def transport_density(self, fluxes: tuple, weighted: bool = True) -> jnp.ndarray:
         return self._td_weighted(fluxes) if weighted else self._td_unweighted(fluxes)
 
+    # -- reference-surface adapters.  The reference's BeckmannProblem is a
+    # scipy.sparse machine (DOF manager + assembled div/mass matrices +
+    # Schur eliminations, beckmann_problem.py:165-1043); this build is
+    # stencil/matrix-free, so the sparse seams (eliminate_flux,
+    # eliminate_lagrange_multiplier, broken_darcy_with_custom_flux_block,
+    # exact_linearization, linear_solve) have no object to expose — their
+    # role is played by pressure_solve/flux_from_pressure on transmissi-
+    # bilities.  The representation-level API below IS meaningful here and
+    # mirrors the reference names (docs/migration.md maps the rest).
+
+    @property
+    def ndofs(self) -> int:
+        """Total flux + pressure DOF count
+        (reference beckmann_problem.py:165-220's DOF manager)."""
+        num_faces = sum(
+            int(np.prod(self.grid.faces_shape[d])) for d in range(self.dim)
+        )
+        return num_faces + int(np.prod(self.shape))
+
+    def flux_view(self, flat: jnp.ndarray) -> tuple:
+        """Per-axis face arrays from a flat (ndofs,) vector's flux block."""
+        num_faces = self.ndofs - int(np.prod(self.shape))
+        return self._unflatten_fluxes(jnp.asarray(flat)[:num_faces])
+
+    def pressure_view(self, flat: jnp.ndarray) -> jnp.ndarray:
+        """Cell pressure array from a flat (ndofs,) vector."""
+        num_faces = self.ndofs - int(np.prod(self.shape))
+        return jnp.asarray(flat)[num_faces:].reshape(self.shape)
+
+    def flat_view(self, fluxes: tuple, pressure: jnp.ndarray) -> jnp.ndarray:
+        """Flat (ndofs,) vector [flux block, pressure block]."""
+        return jnp.concatenate(
+            [self._flatten_fluxes(fluxes), jnp.asarray(pressure).reshape(-1)]
+        )
+
+    def transport_density_faces(self, fluxes: tuple) -> tuple:
+        """Per-axis face flux magnitudes |u| (reference
+        beckmann_problem.py's face-based transport density)."""
+        return tuple(jnp.abs(f) for f in fluxes)
+
+    def cell_weighted_flux(self, fluxes: tuple) -> jnp.ndarray:
+        """Cell-centered weighted flux magnitude (the weighted transport
+        density field)."""
+        return self.transport_density(fluxes, weighted=True)
+
+    def optimality_conditions(self, fluxes, pressure, mass_rhs) -> float:
+        """Residual norm of the (rescaled-flux + divergence) optimality
+        system (reference rescaled_flux_optimality_conditions)."""
+        face_weights = self.compute_face_weights(fluxes)
+        return self.residual_norms(fluxes, pressure, face_weights, mass_rhs)
+
+    rescaled_flux_optimality_conditions = optimality_conditions
+
     def l1_dissipation(self, fluxes: tuple) -> float:
         return float(self._l1_weighted(fluxes))
 

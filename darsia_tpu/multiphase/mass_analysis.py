@@ -112,6 +112,30 @@ class MassAnalysisResults:
             color_signal=sub(self.color_signal),
         )
 
+    # -- reference-name aliases (reference mass_analysis.py:540-572 carries
+    # separate normalized_signal/chi fields; in this build the flash
+    # outputs ARE the normalized [0, 1] signals, so the aliases are exact).
+
+    @property
+    def concentration_co2_aq(self) -> Optional[Image]:
+        return self.concentration_aq
+
+    @property
+    def normalized_signal_aq(self) -> Optional[Image]:
+        return self.concentration_aq
+
+    @property
+    def normalized_signal_g(self) -> Optional[Image]:
+        return self.saturation_g
+
+    @property
+    def saturation_aq(self) -> Optional[Image]:
+        if self.saturation_g is None:
+            return None
+        out = self.saturation_g.copy()
+        out.img = 1.0 - np.asarray(self.saturation_g.img)
+        return out
+
 
 SimpleMassAnalysisResults = MassAnalysisResults
 

@@ -122,6 +122,11 @@ class MultiphaseTimeSeriesData(TimeSeriesData):
 class MultiphaseTimeSeriesAnalysis:
     """Accumulate integrated mass results over a time series."""
 
+    #: contour colors for the aqueous/gaseous phases (RGB, 0-255); the
+    #: reference hardcodes the same roles (multiphase_time_series_analysis).
+    color_aq = (0, 127, 255)
+    color_g = (255, 64, 0)
+
     def __init__(self, geometry: Geometry) -> None:
         self.geometry = geometry
         self.data = MultiphaseTimeSeriesData()
@@ -155,3 +160,77 @@ class MultiphaseTimeSeriesAnalysis:
 
     def plot_volume_over_time(self, path=None, **kwargs):  # pragma: no cover
         self.data.plot_volume_over_time(path, **kwargs)
+
+    # -- per-result plots (reference
+    # multiphase_time_series_analysis.py:107-214) --
+
+    def plot_result(
+        self, mass_analysis_result, component: str, path, vmax=None
+    ) -> None:
+        """Save one component map of a mass-analysis result as PNG."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure()
+        data = np.asarray(getattr(mass_analysis_result, component).img)
+        plt.imshow(data, vmax=vmax)
+        plt.savefig(path)
+        plt.close()
+
+    def plot_contour_signal(
+        self,
+        img,
+        mass_analysis_result,
+        values_aq: list,
+        values_g: list,
+        path,
+        thickness: int = 5,
+    ):
+        """Aqueous + gaseous signal contours over the image."""
+        from ..utils.augmented_plotting import plot_contour_on_image
+
+        return plot_contour_on_image(
+            img=img,
+            mask=[
+                np.asarray(mass_analysis_result.normalized_signal_aq.img)
+                > value
+                for value in values_aq
+            ]
+            + [
+                np.asarray(mass_analysis_result.normalized_signal_g.img)
+                > value
+                for value in values_g
+            ],
+            color=[self.color_aq] * len(values_aq)
+            + [self.color_g] * len(values_g),
+            alpha=list(values_aq) + list(values_g),
+            thickness=thickness,
+            path=path,
+            show_plot=False,
+            return_image=True,
+        )
+
+    def plot_contour_mass(
+        self, img, mass_analysis_result, values: list, path, thickness: int = 5
+    ):
+        """Mass iso-contours over the image (alpha scales with level)."""
+        from ..utils.augmented_plotting import plot_contour_on_image
+
+        lo, hi = min(values), max(values)
+        span = max(hi - lo, 1e-30)
+        alphas = [(v - lo) / span * 0.9 + 0.1 for v in values]
+        return plot_contour_on_image(
+            img=img,
+            mask=[
+                np.asarray(mass_analysis_result.mass.img) > value
+                for value in values
+            ],
+            color=[self.color_g] * len(values),
+            alpha=alphas,
+            thickness=thickness,
+            path=path,
+            show_plot=False,
+            return_image=True,
+        )

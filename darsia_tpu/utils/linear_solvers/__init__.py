@@ -15,6 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.solvers import (
+    _operator,
+    _prolong,
+    _restrict,
     build_coefficient_pyramid,
     cg_solve,
     jacobi_solve,
@@ -151,4 +154,81 @@ class MG(Solver):
             smoother_iterations=self.smoother_iterations,
             maxiter=self.maxiter,
             tol=self.tol,
+        )
+
+    # -- level-wise building blocks (reference mg.py:94-243 exposes these
+    # as part of its public surface; here they delegate to the jitted
+    # kernels in ops/solvers) --
+
+    def operator(self, x, h: float = 1.0):
+        """Apply ``mass*x - diffusion*laplace(x)`` at mesh size h
+        (reference mg.py:94-108)."""
+        mass, diff = self._coeffs()
+        return _operator(
+            jnp.asarray(x, dtype=jnp.float32), mass, diff, self.dim, h
+        )
+
+    def restriction(self, x):
+        """Full-weighting restriction to the next-coarser grid
+        (reference mg.py:110-132)."""
+        return _restrict(jnp.asarray(x, dtype=jnp.float32), self.dim)
+
+    def prolongation(self, x, target_shape=None):
+        """Interpolate to the next-finer grid (reference mg.py:150-167)."""
+        x = jnp.asarray(x, dtype=jnp.float32)
+        if target_shape is None:
+            target_shape = tuple(2 * s for s in x.shape[: self.dim]) + tuple(
+                x.shape[self.dim :]
+            )
+        return _prolong(x, tuple(target_shape), self.dim)
+
+    def restrict_parameters(self) -> None:
+        """Coarsen the heterogeneous coefficients one level, pushing the
+        fine versions on a stack (reference mg.py:134-148)."""
+        if not hasattr(self, "_parameter_stack"):
+            self._parameter_stack = []
+        self._parameter_stack.append((self.mass_coeff, self.diffusion_coeff))
+        mass, diff = self._coeffs()
+        if hasattr(mass, "ndim") and mass.ndim >= self.dim:
+            self.mass_coeff = _restrict(
+                jnp.asarray(mass, dtype=jnp.float32), self.dim
+            )
+        if hasattr(diff, "ndim") and diff.ndim >= self.dim:
+            self.diffusion_coeff = _restrict(
+                jnp.asarray(diff, dtype=jnp.float32), self.dim
+            )
+
+    def prolongate_parameters(self, pad_tuple=None) -> None:
+        """Undo the last :meth:`restrict_parameters`
+        (reference mg.py:169-190)."""
+        stack = getattr(self, "_parameter_stack", [])
+        if not stack:
+            raise RuntimeError("No restricted parameters to prolongate.")
+        self.mass_coeff, self.diffusion_coeff = stack.pop()
+
+    def base_V_Cycle(self, x0, rhs, h: float = 1.0):
+        """One V-cycle (reference mg.py:192-243): the full solver with a
+        single outer iteration."""
+        mass, diff = self._coeffs()
+        x0 = jnp.asarray(x0, dtype=jnp.float32)
+        rhs = jnp.asarray(rhs, dtype=jnp.float32)
+        min_extent = min(x0.shape[: self.dim])
+        depth = min(self.depth, max(int(np.log2(max(min_extent, 2))) - 1, 0))
+        mass_pyr = tuple(
+            build_coefficient_pyramid(mass, x0.shape, self.dim, depth + 1)
+        )
+        diff_pyr = tuple(
+            build_coefficient_pyramid(diff, x0.shape, self.dim, depth + 1)
+        )
+        return mg_solve(
+            x0,
+            rhs,
+            mass_pyr,
+            diff_pyr,
+            dim=self.dim,
+            h=h,
+            depth=depth,
+            smoother_iterations=self.smoother_iterations,
+            maxiter=1,
+            tol=None,
         )
