@@ -392,6 +392,27 @@ class BeckmannProblem:
 
     rescaled_flux_optimality_conditions = optimality_conditions
 
+    def distance_matrix(self, images: list) -> np.ndarray:
+        """Symmetric N x N matrix of pairwise W1 distances (reference
+        emd.py:206-236; the reference Beckmann family inherits the same
+        surface).  Forces scalar returns regardless of ``return_info``."""
+        n = len(images)
+        matrix = np.zeros((n, n), dtype=float)
+        saved = self.options
+        self.options = {
+            **saved,
+            "return_info": False,
+            "return_status": False,
+        }
+        try:
+            for i in range(n):
+                for j in range(i + 1, n):
+                    matrix[i, j] = float(self(images[i], images[j]))
+                    matrix[j, i] = matrix[i, j]
+        finally:
+            self.options = saved
+        return matrix
+
     def l1_dissipation(self, fluxes: tuple) -> float:
         return float(self._l1_weighted(fluxes))
 
@@ -747,6 +768,37 @@ class BeckmannNewtonSolver(BeckmannProblem):
             MobilityMode.CELL_BASED_HARMONIC,
             MobilityMode.SUBCELL_BASED,
         )
+
+    def compute_residual(self, fluxes, pressure, mass_rhs) -> jnp.ndarray:
+        """Flat (ndofs,) residual of the optimality system at the current
+        iterate (reference beckmann_newton_solver.py:46-58): flux block
+        ``cell_vol*fw*u - grad p``, pressure block ``div u - mass_rhs``."""
+        fw = self.compute_face_weights(fluxes)
+        grad = bk.pressure_gradient_faces(pressure, self.face_vol, self.dim)
+        flux_res = tuple(
+            self.cell_vol * fw[d] * fluxes[d] - grad[d]
+            for d in range(self.dim)
+        )
+        div_res = (
+            bk.face_divergence(fluxes, self.face_vol, self.dim) - mass_rhs
+        )
+        return self.flat_view(flux_res, div_res)
+
+    def compute_jacobian(self, fluxes):
+        """Matrix-free Jacobian of the pressure Schur system at the
+        current mobility linearization (reference
+        beckmann_newton_solver.py:60-71 returns a sparse factorization;
+        here a callable applying the weighted TPFA operator)."""
+        trans = self.transmissibilities(self.compute_face_weights(fluxes))
+
+        def apply(p):
+            return bk.tpfa_apply(
+                jnp.asarray(p, self.dtype).reshape(self.shape),
+                trans,
+                self.dim,
+            )
+
+        return apply
 
     def _fused_step_fn(self):
         """Traceable single Newton iteration: face weights -> pressure
@@ -1434,6 +1486,62 @@ class BeckmannBregmanSolver(BeckmannProblem):
         return distance, fluxes, p, info
 
 
+class ProjectedPoissonSolver:
+    """Matrix-free projected-CG/MG Poisson solver on the TPFA stencil.
+
+    The object :meth:`BeckmannGproxPGHDSolver.setup_poisson_solver`
+    returns (reference beckmann_gprox_solver.py:529-620 assembles a
+    sparse Laplacian and hands it to KSP/pyamg; here the operator stays
+    a stencil closure).  ``solve`` projects the rhs onto the mean-zero
+    compatibility space before solving.
+    """
+
+    def __init__(
+        self,
+        problem: "BeckmannProblem",
+        face_weights: tuple,
+        rtol: float,
+        amg_options: Optional[dict] = None,
+    ) -> None:
+        self._problem = problem
+        self._trans = problem.transmissibilities(face_weights)
+        self._rtol = float(rtol)
+        self._amg = amg_options or {}
+
+    def solve(self, rhs, x0=None) -> jnp.ndarray:
+        problem = self._problem
+        rhs = jnp.asarray(rhs, problem.dtype).reshape(problem.shape)
+        rhs = rhs - jnp.mean(rhs)
+        if x0 is None:
+            x0 = jnp.zeros(problem.shape, problem.dtype)
+        else:
+            x0 = jnp.asarray(x0, problem.dtype).reshape(problem.shape)
+        if problem._use_mg:
+            return bk.tpfa_mg_pcg(
+                self._trans,
+                rhs,
+                x0,
+                dim=problem.dim,
+                tol=self._rtol,
+                maxiter=problem._mg_maxiter,
+                levels=int(self._amg.get("levels", problem._mg_levels)),
+                nu=int(self._amg.get("presmoother_iterations", 2)),
+                nu_coarse=int(self._amg.get("coarse_iterations", 40)),
+            )
+        return bk.tpfa_cg(
+            self._trans,
+            rhs,
+            x0,
+            dim=problem.dim,
+            tol=self._rtol,
+            maxiter=problem.cg_maxiter,
+        )
+
+    def kill(self) -> None:
+        """Parity no-op: the reference's KSP holds PETSc state that must
+        be freed; the stencil closure owns no external resources."""
+
+
 class BeckmannGproxPGHDSolver(BeckmannProblem):
     """Primal-dual (PDHG) Beckmann solver with G-prox Poisson preconditioning.
 
@@ -1453,6 +1561,101 @@ class BeckmannGproxPGHDSolver(BeckmannProblem):
         )
         self.tau = options.get("tau", 1.0)
         self.sigma = options.get("sigma", 1.0)
+        self.setup_amg_options()
+
+    # -- effective quantities + Poisson seams (reference
+    # beckmann_gprox_solver.py:442-633) --
+
+    def setup_amg_options(self) -> None:
+        """Multilevel-solver knobs (reference :500-527 builds a pyamg
+        option dictionary; the geometric MG here honors level count and
+        smoothing sweeps).  User overrides ride ``options['amg_options']``
+        with keys ``levels``/``presmoother_iterations``/
+        ``coarse_iterations``."""
+        user = self.options.get("amg_options", {})
+        self.amg_options = {
+            "levels": int(user.get("levels", self._mg_levels)),
+            "presmoother_iterations": int(
+                user.get("presmoother_iterations", 2)
+            ),
+            "coarse_iterations": int(user.get("coarse_iterations", 40)),
+        }
+
+    def setup_poisson_solver(
+        self,
+        solver_prefix: str = "",
+        rtol: float = 1e-6,
+        permeability_faces=None,
+    ) -> ProjectedPoissonSolver:
+        """Poisson solver with optional per-face permeability (reference
+        :529-620).  ``permeability_faces`` is the face permeability field
+        kappa — per-axis arrays or a flat face vector — and the TPFA face
+        weights are 1/kappa; ``None`` gives the unweighted Laplacian."""
+        if permeability_faces is None:
+            face_weights = tuple(self.base_face_weights)
+        else:
+            if not isinstance(permeability_faces, (tuple, list)):
+                permeability_faces = self.grid.face_arrays(
+                    np.asarray(permeability_faces)
+                )
+            face_weights = tuple(
+                1.0
+                / jnp.maximum(
+                    jnp.asarray(k, self.dtype),
+                    jnp.asarray(self.regularization, self.dtype),
+                )
+                for k in permeability_faces
+            )
+        return ProjectedPoissonSolver(
+            self, face_weights, rtol, self.amg_options
+        )
+
+    def compute_kantorovich_potential(
+        self, mass_diff, fluxes, tol: float = 1e-6
+    ) -> jnp.ndarray:
+        """Kantorovich potential from the flux: Poisson solve weighted by
+        the face transport density |u| (reference :442-472)."""
+        from ..utils.fv import FVFullFaceReconstruction
+
+        full = FVFullFaceReconstruction(self.grid)(self.flat_flux(fluxes))
+        norm = np.linalg.norm(full, axis=-1)
+        solver = self.setup_poisson_solver(
+            "transport_density_weighted_poisson",
+            rtol=tol,
+            permeability_faces=norm,
+        )
+        rhs = self.cell_vol * jnp.asarray(mass_diff, self.dtype)
+        x0 = getattr(self, "kantorovich_potential", None)
+        potential = solver.solve(rhs, x0=x0)
+        self.kantorovich_potential = potential
+        solver.kill()
+        return potential
+
+    def compute_dual(self, phi, mass_diff) -> float:
+        """Dual objective int phi d(f+ - f-) (reference :474-482)."""
+        return float(
+            self.cell_vol
+            * jnp.sum(jnp.asarray(phi) * jnp.asarray(mass_diff))
+        )
+
+    def compute_primal(self, fluxes) -> float:
+        """Primal objective int |u| (reference :484-497)."""
+        return self.l1_dissipation(fluxes)
+
+    def leray_projection(self, fluxes: tuple) -> tuple:
+        """Project a face flux field onto divergence-free fields
+        (reference :621-633): ``u - grad(Laplace^-1 div u)``."""
+        div = bk.face_divergence(fluxes, self.face_vol, self.dim)
+        unit = tuple(self.base_face_weights)
+        potential = self.pressure_solve(
+            unit,
+            div - jnp.mean(div),
+            jnp.zeros(self.shape, self.dtype),
+        )
+        correction = self.flux_from_pressure(unit, potential)
+        return tuple(
+            fluxes[d] - correction[d] for d in range(self.dim)
+        )
 
     def solve_beckmann_problem(self, mass_diff: jnp.ndarray):
         mass_rhs = self.cell_vol * mass_diff

@@ -183,6 +183,126 @@ class TestBeckmannViews:
         assert BeckmannAlias is not None
 
 
+class TestBeckmannSolverSeams:
+    """Effective-quantity and Poisson seams on the solver subclasses."""
+
+    def _grid(self):
+        return da.Grid((10, 10), 0.1)
+
+    def _images(self):
+        src = np.zeros((10, 10))
+        src[2:5, 2:5] = 1
+        dst = np.zeros((10, 10))
+        dst[6:9, 6:9] = 1
+        meta = {"width": 1, "height": 1, "scalar": True}
+        return (
+            da.Image(src / src.sum() * 100, **meta),
+            da.Image(dst / dst.sum() * 100, **meta),
+        )
+
+    def test_distance_matrix(self):
+        from darsia_tpu.measure.beckmann import BeckmannNewtonSolver
+
+        newton = BeckmannNewtonSolver(
+            self._grid(),
+            options={"num_iter": 200, "tol_residual": 1e-3, "return_info": True},
+        )
+        a, b = self._images()
+        m = newton.distance_matrix([a, b, a.copy()])
+        assert m.shape == (3, 3)
+        assert np.allclose(m, m.T) and np.allclose(np.diag(m), 0.0)
+        assert m[0, 1] > 0 and m[0, 2] == pytest.approx(0.0, abs=1e-10)
+        # return_info option is restored after the matrix loop
+        assert newton.options.get("return_info") is True
+
+    def test_newton_residual_and_jacobian(self):
+        from darsia_tpu.measure.beckmann import BeckmannNewtonSolver
+
+        grid = self._grid()
+        newton = BeckmannNewtonSolver(grid)
+        rng = np.random.default_rng(0)
+        fluxes = tuple(
+            rng.normal(size=s).astype(np.float32) for s in grid.faces_shape
+        )
+        p = rng.normal(size=(10, 10)).astype(np.float32)
+        res = np.asarray(
+            newton.compute_residual(fluxes, p, np.zeros((10, 10), np.float32))
+        )
+        assert res.shape == (newton.ndofs,)
+        assert np.isfinite(res).all()
+        # the pressure block is exactly div(u)
+        from darsia_tpu.measure import beckmann_kernels as bk
+
+        div = np.asarray(bk.face_divergence(fluxes, newton.face_vol, 2))
+        np.testing.assert_allclose(
+            np.asarray(newton.pressure_view(res)), div, atol=1e-6
+        )
+        # Jacobian operator is symmetric
+        J = newton.compute_jacobian(fluxes)
+        x = rng.normal(size=(10, 10)).astype(np.float32)
+        y = rng.normal(size=(10, 10)).astype(np.float32)
+        assert float(np.sum(np.asarray(J(x)) * y)) == pytest.approx(
+            float(np.sum(x * np.asarray(J(y)))), rel=1e-4
+        )
+
+    def test_gprox_poisson_and_leray(self):
+        from darsia_tpu.measure import beckmann_kernels as bk
+        from darsia_tpu.measure.beckmann import BeckmannGproxPGHDSolver
+
+        grid = self._grid()
+        gp = BeckmannGproxPGHDSolver(grid)
+        assert set(gp.amg_options) == {
+            "levels",
+            "presmoother_iterations",
+            "coarse_iterations",
+        }
+        rng = np.random.default_rng(1)
+        solver = gp.setup_poisson_solver(rtol=1e-8)
+        rhs = rng.normal(size=(10, 10)).astype(np.float32)
+        sol = np.asarray(solver.solve(rhs))
+        trans = gp.transmissibilities(tuple(gp.base_face_weights))
+        applied = np.asarray(bk.tpfa_apply(sol, trans, 2))
+        projected = rhs - rhs.mean()
+        assert np.linalg.norm(applied - projected) < 1e-4 * np.linalg.norm(
+            projected
+        )
+        solver.kill()  # parity no-op
+
+        fluxes = tuple(
+            rng.normal(size=s).astype(np.float32) for s in grid.faces_shape
+        )
+        proj = gp.leray_projection(fluxes)
+        div0 = np.asarray(bk.face_divergence(fluxes, gp.face_vol, 2))
+        div1 = np.asarray(bk.face_divergence(proj, gp.face_vol, 2))
+        assert np.linalg.norm(div1 - div1.mean()) < 1e-4 * np.linalg.norm(
+            div0 - div0.mean()
+        )
+
+    def test_gprox_effective_quantities(self):
+        from darsia_tpu.measure.beckmann import (
+            BeckmannGproxPGHDSolver,
+            BeckmannNewtonSolver,
+        )
+
+        grid = self._grid()
+        a, b = self._images()
+        newton = BeckmannNewtonSolver(
+            grid, options={"num_iter": 200, "tol_residual": 1e-3}
+        )
+        mass_diff = np.asarray(b.img, np.float32) - np.asarray(a.img, np.float32)
+        _, fluxes, _, _ = newton.solve_beckmann_problem(mass_diff)
+
+        gp = BeckmannGproxPGHDSolver(grid)
+        potential = np.asarray(
+            gp.compute_kantorovich_potential(mass_diff, fluxes)
+        )
+        assert potential.shape == (10, 10) and np.isfinite(potential).all()
+        primal = gp.compute_primal(fluxes)
+        dual = gp.compute_dual(potential, mass_diff)
+        # weak duality gap small at the optimum (float32 + regularization)
+        assert abs(primal - dual) / max(primal, 1e-30) < 0.05
+
+
 # ------------------------------------------------------- mass-result aliases
 
 
