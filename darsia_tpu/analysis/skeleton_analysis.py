@@ -18,60 +18,126 @@ __all__ = ["SkeletonAnalysis", "PathEvolutionAnalysis", "PathUnit"]
 
 
 class SkeletonAnalysis:
-    """Skeletonize binary masks and measure skeleton properties."""
+    """Skeletonize binary masks and measure skeleton properties.
 
-    def __init__(self, verbosity: bool = False) -> None:
+    ``skeleton(contours)`` mirrors the reference method (reference
+    ``single_image_analysis/skeleton_analysis.py:90-130``): contours (or
+    the loaded mask's main contour), optionally smoothed, filled and
+    skeletonized.  The computed pixel mask is retained as
+    ``skeleton_mask`` for the measurement helpers.
+    """
+
+    def __init__(
+        self,
+        verbosity: bool = False,
+        contour_smoother=None,
+        reduce_to_main_contour: bool = False,
+    ) -> None:
         self.verbosity = verbosity
-        self.skeleton: Optional[np.ndarray] = None
+        self.contour_smoother = contour_smoother
+        self.reduce_to_main_contour = reduce_to_main_contour
+        self.skeleton_mask: Optional[np.ndarray] = None
+        self.contour: Optional[np.ndarray] = None
+        self.mask: Optional[np.ndarray] = None
         self.img = None
 
-    def load(self, img, roi: Optional[tuple] = None) -> None:
+    def load(self, img, roi: Optional[tuple] = None, fill_holes: bool = False) -> None:
         self.img = img
         data = np.asarray(img.img if hasattr(img, "img") else img)
         if roi is not None:
             data = data[roi]
-        self.skeleton = skeletonize(data.astype(bool))
+        data = data.astype(bool)
+        if fill_holes:
+            from scipy import ndimage
+
+            data = ndimage.binary_fill_holes(data)
+        self.mask = data
+        self.skeleton_mask = skeletonize(data)
+
+    def skeleton(self, contours=None) -> Optional[np.ndarray]:
+        """Skeleton of the loaded mask, via its (smoothed) contour.
+
+        Reference ``skeleton_analysis.py:90-130``: extract contours when
+        none are given, optionally reduce to the largest-area contour,
+        smooth, fill the polygon, and skeletonize the filled mask.
+        Returns the boolean skeleton pixel mask (also stored as
+        ``skeleton_mask``) or ``None`` when no contour exists.
+        """
+        import cv2
+
+        if contours is None:
+            assert self.mask is not None, "Call load() first."
+            found, _ = cv2.findContours(
+                self.mask.astype(np.uint8),
+                cv2.RETR_TREE,
+                cv2.CHAIN_APPROX_NONE,
+            )
+            contours = list(found)
+        if len(contours) == 0:
+            self.contour = None
+            return None
+        if self.reduce_to_main_contour and len(contours) > 1:
+            areas = [cv2.contourArea(np.asarray(c, np.int32)) for c in contours]
+            contours = [contours[int(np.argmax(areas))]]
+        if self.contour_smoother is not None:
+            contours = [self.contour_smoother(c) for c in contours]
+        assert len(contours) == 1, (
+            "Skeletonization currently only implemented for one contour."
+        )
+        self.contour = np.asarray(contours[0], dtype=np.int32)
+        shape = (
+            self.mask.shape
+            if self.mask is not None
+            else (
+                int(self.contour.reshape(-1, 2)[:, 1].max()) + 1,
+                int(self.contour.reshape(-1, 2)[:, 0].max()) + 1,
+            )
+        )
+        contour_mask = np.zeros(shape, dtype=np.uint8)
+        cv2.fillPoly(contour_mask, [self.contour.reshape(-1, 1, 2)], color=1)
+        self.skeleton_mask = skeletonize(contour_mask.astype(bool))
+        return self.skeleton_mask
 
     def skeleton_length(self) -> float:
         """Approximate physical length of the skeleton."""
-        assert self.skeleton is not None, "Call load() first."
+        assert self.skeleton_mask is not None, "Call load() first."
         # Count pixels, weight diagonal connections by sqrt(2)/... simple:
-        n = int(self.skeleton.sum())
+        n = int(self.skeleton_mask.sum())
         if hasattr(self.img, "voxel_size"):
             return n * float(np.mean(self.img.voxel_size[:2]))
         return float(n)
 
     def endpoints(self) -> np.ndarray:
         """Skeleton endpoints (pixels with exactly one neighbour)."""
-        assert self.skeleton is not None
+        assert self.skeleton_mask is not None
         from scipy import ndimage
 
         neighbours = ndimage.convolve(
-            self.skeleton.astype(np.int32),
+            self.skeleton_mask.astype(np.int32),
             np.ones((3, 3), dtype=np.int32),
             mode="constant",
         )
-        mask = self.skeleton & (neighbours == 2)  # self + 1 neighbour
+        mask = self.skeleton_mask & (neighbours == 2)  # self + 1 neighbour
         return np.argwhere(mask)
 
     def branch_points(self) -> np.ndarray:
         """Skeleton branch points (pixels with 3+ neighbours)."""
-        assert self.skeleton is not None
+        assert self.skeleton_mask is not None
         from scipy import ndimage
 
         neighbours = ndimage.convolve(
-            self.skeleton.astype(np.int32),
+            self.skeleton_mask.astype(np.int32),
             np.ones((3, 3), dtype=np.int32),
             mode="constant",
         )
-        mask = self.skeleton & (neighbours >= 4)
+        mask = self.skeleton_mask & (neighbours >= 4)
         return np.argwhere(mask)
 
     def _top_line(self) -> np.ndarray:
         """Per-column topmost skeleton pixel (row, col) — the injection
         front the fingers hang from (reference semantics,
         ``skeleton_analysis.py:196-203``)."""
-        pixels = np.argwhere(self.skeleton)
+        pixels = np.argwhere(self.skeleton_mask)
         if pixels.size == 0:
             return np.zeros((0, 2), dtype=int)
         order = np.lexsort((pixels[:, 0], pixels[:, 1]))  # by col, then row
@@ -120,9 +186,9 @@ class SkeletonAnalysis:
         Returns:
             (leaves, junctions, base_junctions) as (N, 2) (row, col) arrays.
         """
-        assert self.skeleton is not None, "Call load() first."
+        assert self.skeleton_mask is not None, "Call load() first."
         empty = np.zeros((0, 2), dtype=int)
-        if not self.skeleton.any():
+        if not self.skeleton_mask.any():
             return empty, empty, empty
 
         top = self._top_line()
@@ -169,7 +235,7 @@ class SkeletonAnalysis:
         """Skeleton overlay with classified feature points; PNG export."""
         import matplotlib.pyplot as plt
 
-        skeleton = skeleton if skeleton is not None else self.skeleton
+        skeleton = skeleton if skeleton is not None else self.skeleton_mask
         background = img if img is not None else skeleton
         data = np.asarray(
             background.img if hasattr(background, "img") else background

@@ -193,6 +193,19 @@ class CurvatureCorrection(BaseCorrection):
 
     # ----------------------------------------- interactive tuning wrappers
 
+    @property
+    def temporary_image(self) -> np.ndarray:
+        """Current tuning image as an integer image (reference
+        curvature.py:366-370: uint16 stays uint16, everything else is
+        returned as uint8)."""
+        img = np.asarray(self.current_image)
+        if img.dtype == np.uint16:
+            return img
+        if img.dtype == np.uint8:
+            return img
+        scaled = np.clip(np.asarray(img, dtype=float), 0.0, 1.0) * 255.0
+        return scaled.astype(np.uint8)
+
     def show_image(self) -> None:  # pragma: no cover - visual
         """Show the current tuning image (reference curvature.py:358-363)."""
         import matplotlib.pyplot as plt

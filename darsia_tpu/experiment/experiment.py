@@ -31,11 +31,29 @@ class TimeWindow:
 
 
 class Experiment(ABC):
-    """Abstract experiment interface."""
+    """Abstract experiment interface (reference
+    ``experiment/experiment.py:17-36``: atmospheric pressure, temperature
+    and the injection window are the abstract physical state every
+    concrete experiment must expose)."""
+
+    @property
+    @abstractmethod
+    def atmospheric_pressure(self):
+        ...
+
+    @property
+    @abstractmethod
+    def temperature(self):
+        ...
 
     @property
     @abstractmethod
     def injection_start(self) -> datetime:
+        ...
+
+    @property
+    @abstractmethod
+    def injection_end(self) -> datetime:
         ...
 
     def hours_since_start(self, date: datetime) -> float:

@@ -342,12 +342,12 @@ class BeckmannProblem:
     # -- reference-surface adapters.  The reference's BeckmannProblem is a
     # scipy.sparse machine (DOF manager + assembled div/mass matrices +
     # Schur eliminations, beckmann_problem.py:165-1043); this build is
-    # stencil/matrix-free, so the sparse seams (eliminate_flux,
-    # eliminate_lagrange_multiplier, broken_darcy_with_custom_flux_block,
-    # exact_linearization, linear_solve) have no object to expose — their
-    # role is played by pressure_solve/flux_from_pressure on transmissi-
-    # bilities.  The representation-level API below IS meaningful here and
-    # mirrors the reference names (docs/migration.md maps the rest).
+    # stencil/matrix-free.  The representation-level API below mirrors the
+    # reference names on flat (ndofs,) vectors; the sparse seams
+    # (eliminate_flux, eliminate_lagrange_multiplier,
+    # broken_darcy_with_custom_flux_block, exact_linearization,
+    # linear_solve) are exposed further down as stencil-closure
+    # equivalents (docs/migration.md maps the rest).
 
     @property
     def ndofs(self) -> int:
@@ -467,6 +467,101 @@ class BeckmannProblem:
             arrays = self.grid.face_arrays(norm)
             return tuple(1.0 / jnp.asarray(a, dtype=self.dtype) for a in arrays)
         raise ValueError(f"Mobility mode {self.mobility_mode} not supported.")
+
+    # -- matrix-free saddle-system seams.  The reference assembles sparse
+    # blocks and Gauss-eliminates them (beckmann_problem.py:330-1043);
+    # here the same operators are stencil closures on flat (ndofs,)
+    # vectors, and the eliminations return operator + rhs pairs.
+
+    def broken_darcy_with_custom_flux_block(self, flux_block: tuple):
+        """Saddle operator [[W, -G], [D, 0]] with a given diagonal flux
+        block W (per-axis face arrays), as a matrix-free closure on flat
+        (ndofs,) vectors (reference beckmann_problem.py:330-349 returns
+        the bmat).  The reference's third Lagrange-multiplier row is the
+        mean-zero pressure gauge here."""
+
+        def apply(flat):
+            fluxes = self.flux_view(flat)
+            p = self.pressure_view(flat)
+            grad = bk.pressure_gradient_faces(p, self.face_vol, self.dim)
+            flux_rows = tuple(
+                flux_block[d] * fluxes[d] - grad[d] for d in range(self.dim)
+            )
+            div_row = bk.face_divergence(fluxes, self.face_vol, self.dim)
+            return self.flat_view(flux_rows, div_row)
+
+        return apply
+
+    def exact_linearization(self, solution):
+        """Matrix-free exact linearization at ``solution`` (reference
+        beckmann_problem.py:475-488: weight-diagonal flux block from the
+        current face weights)."""
+        fluxes = self.flux_view(jnp.asarray(solution))
+        face_weights = self.compute_face_weights(fluxes)
+        flux_block = tuple(
+            self.cell_vol * face_weights[d] for d in range(self.dim)
+        )
+        return self.broken_darcy_with_custom_flux_block(flux_block)
+
+    def eliminate_flux(self, face_weights: tuple, flux_residual: tuple,
+                       div_residual: jnp.ndarray) -> tuple:
+        """Schur-complement elimination of the (diagonal) flux block
+        (reference beckmann_problem.py:945-1016).  Returns the reduced
+        operator (the weighted TPFA pressure stencil), the reduced rhs
+        ``div_res - D J^-1 flux_res``, and the per-axis inverse flux
+        diagonal ``J^-1 = 1/(cell_vol * fw)``."""
+        flux_inv = tuple(
+            1.0 / (self.cell_vol * face_weights[d]) for d in range(self.dim)
+        )
+        trans = self.transmissibilities(face_weights)
+
+        def schur_apply(p):
+            return bk.tpfa_apply(
+                jnp.asarray(p, self.dtype).reshape(self.shape), trans, self.dim
+            )
+
+        reduced_rhs = jnp.asarray(div_residual) - bk.face_divergence(
+            tuple(flux_inv[d] * flux_residual[d] for d in range(self.dim)),
+            self.face_vol,
+            self.dim,
+        )
+        return schur_apply, reduced_rhs, flux_inv
+
+    def eliminate_lagrange_multiplier(self, reduced_jacobian, reduced_residual):
+        """Fix the pressure gauge of the reduced system (reference
+        beckmann_problem.py:1018-1060 deletes the constrained row/column;
+        the matrix-free equivalent projects the rhs onto the mean-zero
+        compatibility space of the singular TPFA operator)."""
+        rhs = jnp.asarray(reduced_residual)
+        return reduced_jacobian, rhs - jnp.mean(rhs)
+
+    def linear_solve(
+        self,
+        face_weights: tuple,
+        rhs,
+        previous_solution=None,
+        reuse_solver: bool = False,
+    ) -> tuple:
+        """Solve the Schur-reduced pressure system and report timings
+        (reference beckmann_problem.py:790-943 returns (solution, stats)
+        with setup/solve split; the stencil path has no factorization
+        setup, so setup time is the transmissibility construction)."""
+        import time as _time
+
+        tic = _time.perf_counter()
+        rhs = jnp.asarray(rhs, self.dtype).reshape(self.shape)
+        rhs = rhs - jnp.mean(rhs)
+        p0 = (
+            jnp.zeros(self.shape, self.dtype)
+            if previous_solution is None
+            else jnp.asarray(previous_solution, self.dtype).reshape(self.shape)
+        )
+        time_setup = _time.perf_counter() - tic
+        tic = _time.perf_counter()
+        solution = self.pressure_solve(face_weights, rhs, p0)
+        solution.block_until_ready()
+        time_solve = _time.perf_counter() - tic
+        return solution, {"time_setup": time_setup, "time_solve": time_solve}
 
     # --------------------------------------------------------- subproblems
 

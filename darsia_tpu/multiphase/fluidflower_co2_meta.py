@@ -58,6 +58,41 @@ class FluidFlowerCO2Meta:
             if "results" in meta_data
             else None
         )
+        self.results_folder = self.results
+        results_section = meta_data.get("results", {})
+        self.fluidflower_folder = (
+            self.results / results_section["fluidflower"]
+            if self.results is not None and "fluidflower" in results_section
+            else None
+        )
+
+    # -- derived result/calibration paths (reference
+    # fluidflower_co2_meta.py:238-262) --
+
+    @property
+    def log_folder(self) -> Path:
+        """Path to the log folder."""
+        return Path.cwd() / "log"
+
+    @property
+    def co2_analysis_data(self) -> Path:
+        """Path to the CO2 analysis calibration data."""
+        return self.fluidflower_folder / "co2_analysis.csv"
+
+    @property
+    def co2_g_analysis_data(self) -> Path:
+        """Path to the CO2 gas analysis calibration data."""
+        return self.fluidflower_folder / "co2_g_analysis.csv"
+
+    @property
+    def pw_transformation_g_data(self) -> Path:
+        """Pressure-weighted transformation data for the gas phase."""
+        return self.fluidflower_folder / "pw_transformation_g.csv"
+
+    @property
+    def pw_transformation_aq_data(self) -> Path:
+        """Pressure-weighted transformation data for the aqueous phase."""
+        return self.fluidflower_folder / "pw_transformation_aq.csv"
 
     def update(self, key: str, path: Path) -> None:
         """Redirect a managed folder path (reference

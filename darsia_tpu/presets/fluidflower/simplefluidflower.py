@@ -227,6 +227,87 @@ class SimpleFluidFlower:
         out.img = data.astype(int)
         return out
 
+    def setup_curvature_correction(
+        self,
+        roi: Path,
+        roi_mode: Literal["interactive", "automatic"] = "automatic",
+        roi_color: Optional[list] = None,
+    ) -> CurvatureCorrection:
+        """Curvature correction from a marked ROI image (reference
+        simplefluidflower.py:279-318): the ROI photograph is resized to
+        the baseline, a CropAssistant extracts the frame corners
+        (interactively, or automatically from the marker color), and the
+        resulting crop config builds the correction."""
+        from ...assistants.crop_assistant import CropAssistant
+
+        roi_image = resize(imread(roi), ref_image=self.raw_baseline)
+        crop_assistant = CropAssistant(
+            roi_image, width=self.width, height=self.height
+        )
+        if roi_mode == "interactive":
+            self.curvature_config = crop_assistant()
+        elif roi_mode == "automatic":
+            self.curvature_config = crop_assistant.from_image(color=roi_color)
+        else:
+            raise ValueError(f"Unknown roi_mode: {roi_mode}")
+        self.curvature_correction = CurvatureCorrection(
+            config=self.curvature_config
+        )
+        return self.curvature_correction
+
+    def set_corrections(self) -> None:
+        """Rebuild correction objects from their stored configs (reference
+        simplefluidflower.py:436-451)."""
+        if self.drift_config:
+            self.drift_correction = DriftCorrection(
+                self.raw_baseline, config=self.drift_config
+            )
+        if self.curvature_config:
+            self.curvature_correction = CurvatureCorrection(
+                config=self.curvature_config
+            )
+        if getattr(self, "color_config", None):
+            self.color_correction = ColorCorrection(config=self.color_config)
+
+    def activate_corrections(
+        self, corrections: list, extra_corrections: Optional[list] = None
+    ) -> None:
+        """Select the active correction chain by name and refresh the
+        corrected baseline (reference simplefluidflower.py:452-494).
+        Known names: type, resize, drift, curvature, relative-color,
+        illumination, dynamic-illumination, color."""
+        extra_corrections = extra_corrections or []
+        self.corrections = []
+        self.extra_corrections = []
+        for name, attr in (
+            ("type", "type_conversion"),
+            ("resize", "resize_correction"),
+            ("drift", "drift_correction"),
+            ("curvature", "curvature_correction"),
+            ("relative-color", "relative_color_correction"),
+            ("illumination", "illumination_correction"),
+            ("dynamic-illumination", "dynamic_illumination_correction"),
+            ("color", "color_correction"),
+        ):
+            if name in corrections and hasattr(self, attr):
+                self.corrections.append(getattr(self, attr))
+        if "color" in extra_corrections and hasattr(self, "color_correction"):
+            self.extra_corrections.append(self.color_correction)
+
+        self.baseline = self.raw_baseline.copy()
+        for correction in self.corrections:
+            self.baseline = correction(self.baseline)
+        self.expert_knowledge(self.baseline)
+
+    def restrict_to_water_height(self, img):
+        """Crop to the water column [0, water_height] (reference
+        simplefluidflower.py:661-673)."""
+        from ...utils.point import make_coordinate
+
+        return img.subregion(
+            roi=make_coordinate([[0, 0], [self.width, self.water_height]])
+        )
+
     # -------------------------------------------------------------- access
 
     def expert_knowledge(self, img) -> None:

@@ -25,6 +25,7 @@ from .restoration import RestorationMaskFactory, build_restoration
 from .mass_computation import MassComputation
 from .basis import label_ids_from_image
 from .utils.roi_visualization import (
+    ActiveRegionRenderData,
     build_active_mask_from_rois,
     render_active_region,
     draw_active_region,

@@ -3,10 +3,12 @@
 
 from .expert_knowledge import ExpertKnowledgeAdapter
 from .progress import (
+    AnalysisProgressEvent,
     publish_analysis_progress,
     publish_step_start,
     publish_image_progress,
     publish_step_complete,
+    normalize_progress_event,
 )
 from .streaming import (
     encode_low_resolution_png,

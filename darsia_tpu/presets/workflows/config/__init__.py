@@ -10,7 +10,14 @@ from .toml_utils import (
     convert_none,
     validate_choice,
 )
-from .time_data import TimeInterval, TimeWindow, TimeData
+from .time_data import (
+    TimeInterval,
+    TimeWindow,
+    TimeData,
+    ImageTimeData,
+    ImageTimeIntervalData,
+    PathData,
+)
 from .data import DataConfig, DataRegistry
 from .rig import RigConfig
 from .depth import DepthConfig
@@ -42,7 +49,11 @@ from .color_embedding_registry import (
     parse_color_range_embedding,
     parse_color_channel_embedding,
 )
-from .contour_smoother import SavitzkyGolaySmootherConfig, make_contour_smoother
+from .contour_smoother import (
+    ContourSmootherConfig,
+    SavitzkyGolaySmootherConfig,
+    make_contour_smoother,
+)
 from .segmentation import SegmentationValueLabelsConfig, SegmentationConfig
 from .fingers import FingersConfig
 from .calibration import (
@@ -76,6 +87,7 @@ from .helper import (
     HelperColorConfig,
     HelperConfig,
 )
+from .color_to_mass import ColorToMassConfig
 from .workflow_utils import WorkflowUtilsConfig
 from .wasserstein import WassersteinDistancesConfig
 from .fluidflower_config import FluidFlowerConfig

@@ -3,15 +3,26 @@
 
 from __future__ import annotations
 
+from abc import ABC
 from dataclasses import dataclass
 
-__all__ = ["SavitzkyGolaySmootherConfig", "make_contour_smoother"]
+__all__ = [
+    "ContourSmootherConfig",
+    "SavitzkyGolaySmootherConfig",
+    "make_contour_smoother",
+]
 
 
 @dataclass
-class SavitzkyGolaySmootherConfig:
-    window_length: int = 9
-    polyorder: int = 2
+class ContourSmootherConfig(ABC):
+    """Abstract marker base for contour smoother configs (reference
+    ``presets/workflows/config/contour_smoother.py:10-11``)."""
+
+
+@dataclass
+class SavitzkyGolaySmootherConfig(ContourSmootherConfig):
+    window_length: int = 21
+    polyorder: int = 3
 
     def load(self, sec: dict) -> "SavitzkyGolaySmootherConfig":
         self.window_length = int(sec.get("window_length", self.window_length))

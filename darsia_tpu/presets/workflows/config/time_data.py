@@ -14,7 +14,14 @@ import numpy as np
 
 from .toml_utils import convert_to_hours
 
-__all__ = ["TimeInterval", "TimeWindow", "TimeData"]
+__all__ = [
+    "TimeInterval",
+    "TimeWindow",
+    "TimeData",
+    "ImageTimeData",
+    "ImageTimeIntervalData",
+    "PathData",
+]
 
 
 @dataclass
@@ -138,3 +145,121 @@ class TimeData:
             or self.image_windows
             or self.image_paths
         )
+
+    # Per-mode views (reference ``time_data.py:244-251`` stores these as
+    # fields; the aggregate here materializes them on demand).
+
+    @property
+    def image_time_data(self) -> "ImageTimeData":
+        view = ImageTimeData()
+        view.times = sorted(self.image_times)
+        view.times_with_tolerance = [
+            (t, self.default_tol) for t in view.times
+        ]
+        return view
+
+    @property
+    def image_interval_data(self) -> "ImageTimeIntervalData":
+        view = ImageTimeIntervalData()
+        view.intervals = dict(self.image_intervals)
+        view.windows = dict(self.image_windows)
+        return view
+
+    @property
+    def image_path_data(self) -> "PathData":
+        view = PathData()
+        view.paths = list(self.image_paths)
+        return view
+
+
+@dataclass
+class ImageTimeData:
+    """Explicit image times view (reference ``time_data.py:78-122``).
+
+    The aggregate :class:`TimeData` stores all selection modes in one
+    object; this view exposes the reference's per-mode surface: ``load``
+    parses only ``times``/``tol`` keys, and
+    ``get_times_with_uncertainty`` returns ``(time, tol)`` pairs.
+    """
+
+    times: list = field(default_factory=list)
+    times_with_tolerance: list = field(default_factory=list)
+
+    def load(self, sec: dict) -> "ImageTimeData":
+        tolerance = convert_to_hours(sec.get("tol", 0.0))
+        self.times.extend(convert_to_hours(t) for t in sec.get("times", []))
+        self.times.sort()
+        self.times_with_tolerance = [(t, tolerance) for t in self.times]
+        return self
+
+    def get_times_with_uncertainty(self) -> list:
+        return list(self.times_with_tolerance)
+
+
+@dataclass
+class ImageTimeIntervalData:
+    """Interval/window selection view (reference ``time_data.py:125-166``)."""
+
+    intervals: dict = field(default_factory=dict)
+    windows: dict = field(default_factory=dict)
+
+    def load(self, sec: dict) -> "ImageTimeIntervalData":
+        for name, data in sec.get("interval", {}).items():
+            if "num" in data or "step" in data:
+                self.intervals[name] = TimeInterval.from_dict(data)
+            else:
+                self.windows[name] = TimeWindow.from_dict(data)
+        for name, data in sec.get("window", {}).items():
+            self.windows[name] = TimeWindow.from_dict(data)
+        return self
+
+    def get_times_with_uncertainty(self) -> list:
+        all_times = []
+        for interval in self.intervals.values():
+            tol = interval.tol if interval.tol is not None else 0.0
+            all_times.extend((t, tol) for t in interval.times())
+        return all_times
+
+
+@dataclass
+class PathData:
+    """Direct-file-path selection view (reference ``time_data.py:169-231``):
+    entries with ``*`` glob inside the data folder(s), relative entries
+    resolve against the first folder that contains them."""
+
+    paths: list = field(default_factory=list)
+
+    def load(self, sec: dict, data_folder=None) -> "PathData":
+        raw = sec.get("paths", [])
+        if isinstance(raw, str):
+            raw = [raw]
+        folders = (
+            [Path(f) for f in data_folder]
+            if isinstance(data_folder, (list, tuple))
+            else ([Path(data_folder)] if data_folder is not None else [])
+        )
+        for entry in raw:
+            entry = str(entry)
+            if "*" in entry:
+                for folder in folders or [Path(".")]:
+                    self.paths.extend(sorted(folder.glob(entry)))
+                continue
+            candidate = Path(entry)
+            if candidate.is_absolute() or not folders:
+                self.paths.append(candidate)
+                continue
+            existing = [f / candidate for f in folders if (f / candidate).exists()]
+            self.paths.extend(existing if existing else [folders[0] / candidate])
+        self.paths = sorted(set(self.paths))
+        return self
+
+    def validate(self) -> bool:
+        missing = [p for p in self.paths if not p.exists()]
+        if missing:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Missing image paths: %s", missing
+            )
+            return False
+        return True

@@ -6,6 +6,7 @@ Parity: reference ``presets/workflows/helper/helper_result_reader.py``.
 from __future__ import annotations
 
 import logging
+from dataclasses import dataclass
 from pathlib import Path
 from types import SimpleNamespace
 
@@ -17,7 +18,41 @@ from ..mode_resolution import SCALAR_PRODUCT_MODES
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["helper_results"]
+__all__ = ["ResultFrame", "helper_results", "load_result_frames"]
+
+
+@dataclass
+class ResultFrame:
+    """One loaded result field with its provenance and summary statistics
+    (reference ``helper/helper_result_reader.py:24-30``)."""
+
+    image: object
+    source_name: str
+    result_path: Path
+    minimum: float
+    maximum: float
+    integral: float
+
+
+def load_result_frames(files) -> list:
+    """Load exported npz result fields into :class:`ResultFrame` records
+    (min/max plus the plain-sum integral the viewer displays)."""
+    frames = []
+    for file in files:
+        file = Path(file)
+        image = imread(file)
+        arr = np.asarray(image.img, dtype=float)
+        frames.append(
+            ResultFrame(
+                image=image,
+                source_name=file.stem,
+                result_path=file,
+                minimum=float(arr.min()) if arr.size else 0.0,
+                maximum=float(arr.max()) if arr.size else 0.0,
+                integral=float(arr.sum()),
+            )
+        )
+    return frames
 
 
 def helper_results(path, cls=None, show: bool = False) -> list:

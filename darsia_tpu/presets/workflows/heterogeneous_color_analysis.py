@@ -134,6 +134,131 @@ class HeterogeneousColorAnalysis(ConcentrationAnalysis):
         (reference heterogeneous_color_analysis.py:249-423 slider UI)."""
         self.model[0][int(label)].update_model_parameters(values)
 
+    def calibration_values(
+        self,
+        image,
+        initial_color_path_idx: int = 0,
+        values: Optional[dict] = None,
+    ) -> dict:
+        """Tune per-color-path interpolation values (reference
+        heterogeneous_color_analysis.py:749-860, an interactive slider
+        loop; here headless).  ``values`` maps color-path index -> new
+        value table; each update is pushed to every label associated with
+        that path.  Returns concentration previews (path index ->
+        concentration array) so a caller can iterate
+        propose -> preview -> accept."""
+        values = values or {}
+        for idx, new_values in values.items():
+            idx = int(idx)
+            for label in np.where(self.color_path_associations == idx)[0]:
+                self.model[0][int(label)].update_model_parameters(
+                    np.asarray(new_values, dtype=float)
+                )
+        previews: dict = {}
+        concentration = self(image)
+        data = np.asarray(concentration.img)
+        labels_arr = np.asarray(self.labels.img)
+        indices = (
+            sorted({int(i) for i in values})
+            if values
+            else [int(initial_color_path_idx)]
+        )
+        for idx in indices:
+            mask = np.zeros(labels_arr.shape, dtype=bool)
+            for label in np.where(self.color_path_associations == idx)[0]:
+                mask |= labels_arr == label
+            previews[idx] = np.where(mask, data, 0.0)
+        return previews
+
+    def global_calibration_flash(
+        self,
+        mass_computation,
+        mask,
+        calibration_images: list,
+        experiment,
+        cmap=None,
+        show: bool = False,
+    ) -> dict:
+        """Coarse global tuning of the signal-to-mass chain (reference
+        heterogeneous_color_analysis.py:423-608): run the calibration
+        images through the analysis + mass computation, compare the
+        integrated mass against the injection protocol, and report the
+        time series + square error (the reference renders the same series
+        in a matplotlib session)."""
+        times, expected, integrated = [], [], []
+        for img in calibration_images:
+            time_h = (
+                float(np.asarray(img.time)) / 3600.0
+                if img.time is not None
+                else 0.0
+            )
+            signal = self(img)
+            times.append(time_h)
+            expected.append(
+                float(experiment.injection_protocol.injected_mass(time=time_h))
+            )
+            integrated.append(float(mass_computation.integrated_mass(signal)))
+        square_error = float(
+            np.sum((np.asarray(integrated) - np.asarray(expected)) ** 2)
+        )
+        history = {
+            "times": times,
+            "expected_mass": expected,
+            "integrated_mass": integrated,
+            "square_error": square_error,
+        }
+        self.calibration_history = history
+        if show:  # pragma: no cover - visual
+            import matplotlib.pyplot as plt
+
+            plt.figure("Global flash calibration")
+            plt.plot(times, expected, label="expected", color="k")
+            plt.plot(times, integrated, label="integrated", color="b")
+            plt.legend()
+            plt.show()
+        return history
+
+    def local_calibration_flash(
+        self,
+        mass_computation,
+        mask,
+        calibration_images: list,
+        cmap=None,
+        show: bool = False,
+    ) -> None:
+        """Reference parity stub: the upstream method is itself
+        unimplemented (``assert False, "continue here"``, reference
+        heterogeneous_color_analysis.py:609-633).  Use
+        :meth:`local_calibration_colors` + :meth:`global_calibration_flash`
+        for the same effect."""
+        raise NotImplementedError(
+            "local_calibration_flash is unimplemented upstream "
+            "(heterogeneous_color_analysis.py:609-633); combine "
+            "local_calibration_colors with global_calibration_flash."
+        )
+
+    def local_calibration_color_path(
+        self,
+        image,
+        mask,
+        label: Optional[int] = None,
+        label_box: Optional[tuple] = None,
+    ) -> int:
+        """Define a dedicated color path for one label (reference
+        heterogeneous_color_analysis.py:634-748 picks the label with a
+        rectangle-selection event loop; here the label — or a voxel-slice
+        box whose dominant label is used — is given programmatically).
+        Returns the chosen label."""
+        if label is None:
+            assert label_box is not None, (
+                "Provide label= or label_box= (headless redesign of the "
+                "reference's interactive rectangle selection)."
+            )
+            labels_arr = np.asarray(self.labels.img)
+            label = int(np.argmax(np.bincount(labels_arr[label_box].ravel())))
+        self.local_calibration_colors(int(label), image, mask)
+        return int(label)
+
     def update_color_path_function(self, label: int, function) -> None:
         self.model[0][int(label)] = copy.copy(function)
         self.color_path_functions.append(function)

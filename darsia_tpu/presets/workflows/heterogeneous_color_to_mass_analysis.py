@@ -158,6 +158,20 @@ class HeterogeneousColorToMassAnalysis:
         only the pH/flash/mass tail."""
         return HeterogeneousCalibrationSession(self, images, experiment, log)
 
+    def manual_calibration(
+        self,
+        images: list,
+        experiment,
+        rois: Optional[dict] = None,
+        cmap=None,
+    ) -> "HeterogeneousCalibrationSession":
+        """Reference-named entry point (reference :183-2550).  The
+        upstream method blocks in a matplotlib event loop; the headless
+        redesign hands back the stepper session instead — drive it with
+        ``propose``/``preview``/``accept`` (``rois``/``cmap`` are accepted
+        for signature parity; per-ROI plots are not reproduced)."""
+        return self.manual_calibration_session(images, experiment)
+
     def automatic_calibration(
         self,
         images: list,

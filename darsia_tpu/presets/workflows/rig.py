@@ -589,6 +589,61 @@ class Rig:
 
     # ------------------------------------------------------------- reading
 
+    def import_from_csv(
+        self,
+        path: Path,
+        *,
+        delimiter: str = ",",
+        date=None,
+        reference_date=None,
+        time=None,
+        name: Optional[str] = None,
+        is_extensive: bool = False,
+    ):
+        """Import scalar result data from a coordinate CSV (reference
+        rig.py:1053-1133): columns (x, y, value), lex-sorted so x changes
+        fastest, reshaped row-major and flipped to the image's
+        top-left-origin row/col convention."""
+        from ...image.image import ExtensiveImage, ScalarImage
+
+        path = Path(path)
+        if not path.exists():
+            raise FileNotFoundError(f"CSV file {path} does not exist.")
+        try:
+            data = np.loadtxt(path, delimiter=delimiter)
+        except ValueError:
+            data = np.loadtxt(path, delimiter=delimiter, skiprows=1)
+        indices = np.lexsort((data[:, 0], data[:, 1]))
+        data = data[indices]
+        coordinates_x, coordinates_y, values = data[:, 0], data[:, 1], data[:, 2]
+
+        unique_x = np.unique(coordinates_x)
+        unique_y = np.unique(coordinates_y)
+        shape = (len(unique_y), len(unique_x))
+        dx = float(np.min(np.diff(unique_x)))
+        dy = float(np.min(np.diff(unique_y)))
+        origin = (unique_x[0] - dx / 2, unique_y[-1] + dy / 2)
+        dimensions = (
+            float(np.max(coordinates_y) - np.min(coordinates_y) + dy),
+            float(np.max(coordinates_x) - np.min(coordinates_x) + dx),
+        )
+        # x changes fastest -> C-order reshape, then flip rows so the top
+        # row holds the largest y (image row/col convention).
+        values_reshaped = np.flip(values.reshape(shape, order="C"), axis=0)
+
+        metadata = {
+            "origin": origin,
+            "dimensions": dimensions,
+            "name": name,
+            "time": time,
+            "date": date,
+            "reference_date": reference_date,
+            "series": False,
+            "scalar": True,
+        }
+        cls = ExtensiveImage if is_extensive else ScalarImage
+        return cls(values_reshaped, **metadata)
+
     def read_image(self, path: Path) -> Image:
         """Read + correct an image; date comes from the imaging protocol
         (reference rig.py:1135-1166)."""

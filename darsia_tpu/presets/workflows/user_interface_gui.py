@@ -28,10 +28,61 @@ from typing import Callable, Optional
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["GuiSession", "WorkerHandle", "launch_gui", "run_step_in_worker", "main"]
+try:
+    from typing import Any, Protocol, TypedDict
+except ImportError:  # pragma: no cover
+    Protocol = object  # type: ignore[assignment]
+    TypedDict = dict  # type: ignore[assignment]
+    Any = object  # type: ignore[assignment]
+
+__all__ = [
+    "GuiSession",
+    "WorkerHandle",
+    "WorkflowGUI",
+    "QueueLogHandler",
+    "RunContext",
+    "SupportsLogQueue",
+    "SupportsQueue",
+    "UtilsWorkflowOptions",
+    "launch_gui",
+    "run_step_in_worker",
+    "main",
+]
 
 # Error sentinel prefix (reference user_interface_gui.py:37).
 ERROR_SENTINEL = "__DARSIA_WORKER_ERROR__:"
+
+
+class SupportsLogQueue(Protocol):
+    """Queue-like sink for log forwarding (reference
+    ``user_interface_gui.py:42-46``)."""
+
+    def put(self, obj: str) -> "Any":
+        """Put one log message in the queue."""
+
+
+class SupportsQueue(Protocol):
+    """Queue-like channel for generic payload forwarding (reference
+    ``user_interface_gui.py:49-56``)."""
+
+    def get_nowait(self) -> "Any":
+        """Get one queue element without blocking."""
+
+    def put_nowait(self, obj: "Any") -> "Any":
+        """Put one queue element without blocking."""
+
+
+class UtilsWorkflowOptions(TypedDict, total=False):
+    """Option payload for the utils workflow launcher (reference
+    ``user_interface_gui.py:59-65``)."""
+
+    media: bool
+    download: bool
+    export_calibration: bool
+    import_calibration: bool
+    export_bundle: str
+    import_bundle: str
+    import_conflict_action: str
 
 # Registry of launchable steps: label -> (module, function, kind).
 # kind "context" steps receive (ctx, progress_callback, stream_callback);
@@ -540,11 +591,17 @@ def run_step_in_worker(step: str, config_path: str):
 # --------------------------------------------------------------------- Tk
 
 
-def launch_gui(config_path=None) -> None:
+def launch_gui(
+    config_path=None, session=None, root=None, run_mainloop: bool = True
+):
     """Tk shell over :class:`GuiSession`: multi-config manager, built-in
     TOML editor, step buttons with per-step option forms, batch monitor
     with rolling ETA, log pane, streamed preview images, and done/error
-    dialogs (reference GUI feature set, ``user_interface_gui.py``)."""
+    dialogs (reference GUI feature set, ``user_interface_gui.py``).
+
+    ``session``/``root`` allow embedding (:class:`WorkflowGUI` passes its
+    own); with ``run_mainloop=False`` the built root is returned instead
+    of entering the Tk event loop."""
     try:
         import tkinter as tk
         from tkinter import filedialog, messagebox, scrolledtext, ttk
@@ -566,14 +623,14 @@ def launch_gui(config_path=None) -> None:
         step_parameters,
     )
 
-    session = GuiSession()
+    session = session if session is not None else GuiSession()
     if config_path is not None:
         if isinstance(config_path, (list, tuple)):
             session.set_configs(config_path)
         else:
             session.set_config(config_path)
 
-    root = tk.Tk()
+    root = root if root is not None else tk.Tk()
     root.title("darsia_tpu workflows")
 
     # --- Config manager pane: ordered overlay list + rig spec. ---------
@@ -899,7 +956,68 @@ def launch_gui(config_path=None) -> None:
     refresh_configs()
     poll()
     root.protocol("WM_DELETE_WINDOW", lambda: (session.stop_all(), root.destroy()))
+    if not run_mainloop:
+        return root
     root.mainloop()
+
+
+class QueueLogHandler(logging.Handler):
+    """Log handler forwarding formatted records into a queue for GUI
+    consumption (reference ``user_interface_gui.py:846-855``)."""
+
+    def __init__(self, queue: "SupportsLogQueue") -> None:
+        super().__init__()
+        self._queue = queue
+
+    def emit(self, record: logging.LogRecord) -> None:
+        try:
+            self._queue.put(self.format(record))
+        except Exception:  # queue closed mid-shutdown; never raise from logging
+            pass
+
+
+@dataclass
+class RunContext:
+    """Resolved launch inputs for one worker run (reference
+    ``user_interface_gui.py:858-861``)."""
+
+    config_paths: list
+    rig_cls: type = None
+
+
+class WorkflowGUI:
+    """Tkinter GUI for preset workflow execution (reference
+    ``user_interface_gui.py:863+``).
+
+    The widget tree, polling loops and worker lifecycle are delegated to
+    :func:`launch_gui` over the shared headless :class:`GuiSession`; the
+    class owns the session, the log queue + :class:`QueueLogHandler`
+    wiring, and the Tk root."""
+
+    def __init__(self, root=None, config_path=None) -> None:
+        self.session = GuiSession()
+        self.log_queue: "queue.Queue" = queue.Queue()
+        self._log_handler = QueueLogHandler(self.log_queue)
+        logging.getLogger("darsia_tpu").addHandler(self._log_handler)
+        self.root = launch_gui(
+            config_path=config_path,
+            session=self.session,
+            root=root,
+            run_mainloop=False,
+        )
+
+    def run(self) -> None:
+        """Enter the Tk event loop."""
+        self.root.mainloop()
+
+    def close(self) -> None:
+        """Stop workers, detach logging, and destroy the window."""
+        self.session.stop_all()
+        logging.getLogger("darsia_tpu").removeHandler(self._log_handler)
+        try:
+            self.root.destroy()
+        except Exception:
+            pass
 
 
 def main(argv=None) -> None:

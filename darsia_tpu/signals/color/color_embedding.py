@@ -190,6 +190,12 @@ class ColorChannelEmbedding(ColorEmbedding):
     calibration_root: Optional[Path] = None
     mask_embedding: object = None
 
+    @property
+    def config_file(self) -> Path:
+        """Embedding config location (reference
+        color_embedding_channel.py:76-77)."""
+        return Path(self.calibration_root) / "embedding.json"
+
     def canonical_transform(self, runtime) -> ColorEmbeddingTransform:
         return ColorChannelEmbeddingTransform(
             color_space=self.color_space,
@@ -235,6 +241,18 @@ class ColorPathEmbedding(ColorEmbedding):
             / "color_paths"
             / calibration_basis_folder(self.basis)
         )
+
+    @property
+    def baseline_color_spectrum_folder(self) -> Path:
+        """Baseline spectrum cache location (reference
+        color_embedding_path.py:56-57)."""
+        return Path(self.calibration_root) / "baseline_color_spectrum"
+
+    @property
+    def color_range_file(self) -> Path:
+        """Calibrated color-range location (reference
+        color_embedding_path.py:60-61)."""
+        return Path(self.calibration_root) / "color_range"
 
     @property
     def color_to_mass_folder(self) -> Path:
@@ -314,6 +332,12 @@ class ColorRangeEmbedding(ColorEmbedding):
     color_space: str = "HSV"
     ranges: list = field(default_factory=list)
     restoration_config: object = None
+
+    @property
+    def config_file(self) -> Path:
+        """Embedding config location (reference
+        color_embedding_range.py:85-86)."""
+        return Path(self.calibration_root) / "embedding.json"
 
     def canonical_transform(self, runtime) -> ColorEmbeddingTransform:
         if self.basis != ColorEmbeddingBasis.GLOBAL:

@@ -186,6 +186,24 @@ class DiscreteColorRange(ColorRange):
         self.resolution = resolution
         self.occupancy: set[int] = set()
 
+    @property
+    def shape(self) -> tuple:
+        """Shape of the discrete color raster (reference
+        discrete_color_range.py:36-39)."""
+        return (self.resolution, self.resolution, self.resolution)
+
+    def colors(self, flat: bool = False) -> np.ndarray:
+        """All raster node colors as an array (reference
+        discrete_color_range.py:103-114): the regular grid spanning
+        [min_color, max_color], shape (R,R,R,3) or flat (R^3, 3)."""
+        linspaces = [
+            np.linspace(self.min_color[i], self.max_color[i], self.resolution)
+            for i in range(3)
+        ]
+        grid = np.meshgrid(*linspaces, indexing="ij")
+        colors = np.stack(grid, axis=-1)
+        return colors.reshape((-1, 3)) if flat else colors
+
     def fit(self, colors: np.ndarray, expand: float = 0.0) -> "DiscreteColorRange":
         super().fit(colors, expand)
         ids = flatten_index(

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sps
 
-__all__ = ["cg", "gmres", "KSP"]
+__all__ = ["cg", "gmres", "CG", "GMRES", "KSP"]
 
 
 def _is_sparse(A) -> bool:
@@ -47,6 +47,41 @@ def gmres(A, b, x0=None, tol: float = 1e-8, maxiter: Optional[int] = None):
         tol=tol, maxiter=maxiter,
     )
     return np.asarray(x), 0
+
+
+class CG:
+    """Stateful conjugate-gradient wrapper (reference ``utils/linalg.py:11-31``:
+    scipy CG on an assembled matrix; here matrix, sparse, or operator)."""
+
+    def __init__(self, A) -> None:
+        self.A = A
+        self.scipy_options: dict = {}
+
+    def setup(self, scipy_options: dict) -> None:
+        """Store solver options (rtol/atol/maxiter as scipy understands)."""
+        self.scipy_options = dict(scipy_options)
+
+    def solve(self, b, **kwargs) -> np.ndarray:
+        options = kwargs if kwargs else dict(self.scipy_options)
+        tol = options.pop("rtol", options.pop("tol", 1e-8))
+        maxiter = options.pop("maxiter", None)
+        x, _ = cg(self.A, b, x0=options.pop("x0", None), tol=tol, maxiter=maxiter)
+        return np.asarray(x)
+
+
+class GMRES:
+    """Stateful GMRES wrapper (reference ``utils/linalg.py:34-39``)."""
+
+    def __init__(self, A) -> None:
+        self.A = A
+
+    def solve(self, b, **kwargs) -> np.ndarray:
+        tol = kwargs.pop("rtol", kwargs.pop("tol", 1e-8))
+        maxiter = kwargs.pop("maxiter", None)
+        x, _ = gmres(
+            self.A, b, x0=kwargs.pop("x0", None), tol=tol, maxiter=maxiter
+        )
+        return np.asarray(x)
 
 
 class KSP:

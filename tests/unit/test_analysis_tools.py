@@ -61,8 +61,11 @@ def test_skeleton_analysis():
     mask[14:17, 2:28] = True  # horizontal bar
     analysis = da.SkeletonAnalysis()
     analysis.load(mask)
-    assert analysis.skeleton.sum() > 10
+    assert analysis.skeleton_mask.sum() > 10
     assert len(analysis.endpoints()) >= 2
+    # Reference-style contour-driven skeleton method.
+    skeleton = analysis.skeleton()
+    assert skeleton is not None and skeleton.sum() > 5
 
 
 def test_path_evolution_masks():

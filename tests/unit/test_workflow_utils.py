@@ -70,9 +70,12 @@ class TestRoiVisualization:
         mask = build_active_mask_from_rois({"left": RoiCfg()}, img)
         assert mask.dtype == bool and mask.any() and not mask.all()
         rendered = render_active_region(img, mask, dim_factor=0.5)
-        arr = np.asarray(rendered.img if hasattr(rendered, "img") else rendered)
+        arr = np.asarray(rendered.image)
         # Outside the active region the image is dimmed.
         assert arr[~mask].mean() < arr[mask].mean()
+        assert rendered.mask.shape == mask.shape
+        # Boundary contours are extracted for a partial mask.
+        assert len(rendered.contours) > 0
 
 
 class TestDownloadPlanner:
