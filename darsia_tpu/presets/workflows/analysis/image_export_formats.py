@@ -57,6 +57,44 @@ class ImageExportFormats:
             cols = max(int(arr.shape[1] * scale), 1)
         return np.asarray(resize_array(arr, (rows, cols)))
 
+    def export_image(
+        self,
+        image,
+        folder: Path,
+        stem: str,
+        *,
+        supported_types=None,
+        subfolder=None,
+        jpg_quality: int = 50,
+        png_compression: int = 6,
+        scalar_write_kwargs=None,
+    ) -> list:
+        """Reference-named export entry point (reference
+        image_export_formats.py:188-236): restrict to ``supported_types``
+        and nest under ``subfolder``; quality/compression knobs ride the
+        per-spec settings here."""
+        formats = self.formats
+        if supported_types is not None:
+            formats = [s for s in formats if s.type in supported_types]
+        target = Path(folder) if subfolder is None else Path(folder)
+        restricted = ImageExportFormats(formats)
+        if subfolder is not None:
+            # Reference nests <folder>/<format>/<subfolder>; export()
+            # writes <folder>/<format>, so shift per-spec below.
+            written = []
+            for spec in formats:
+                single = ImageExportFormats([spec])
+                out = single.export(image, target, stem,
+                                    **(scalar_write_kwargs or {}))
+                for path in out:
+                    dest = path.parent / Path(subfolder) / path.name
+                    dest.parent.mkdir(parents=True, exist_ok=True)
+                    path.rename(dest)
+                    written.append(dest)
+            return written
+        return restricted.export(image, target, stem,
+                                 **(scalar_write_kwargs or {}))
+
     def export(self, image, folder: Path, stem: str, **write_kwargs) -> list:
         """Write the image in every configured format; returns paths."""
         written = []

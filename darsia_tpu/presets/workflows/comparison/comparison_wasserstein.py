@@ -35,18 +35,28 @@ class WassersteinDistanceResult:
     roi: Optional[str] = None
     metadata: dict = field(default_factory=dict)
 
-    def get_result_filename(self) -> str:
-        roi = self.roi or "full"
+    @staticmethod
+    def get_filename(run_1: str, run_2: str, time: float, roi_name: str) -> str:
+        """Standardized intermediate-result filename (reference
+        comparison_wasserstein.py:54-68)."""
+        roi = roi_name or "full"
         return (
-            f"wasserstein_{self.run_a}_vs_{self.run_b}"
-            f"_t{self.time:07.3f}_{roi}.json"
-        )
+            f"wasserstein_{run_1}_vs_{run_2}_t{time:07.3f}_{roi}.json"
+        ).replace(" ", "_")
+
+    def get_result_filename(self) -> str:
+        return self.get_filename(self.run_a, self.run_b, self.time, self.roi)
+
+    def save(self, path: Path) -> None:
+        """Save this result as JSON at an explicit path (reference
+        comparison_wasserstein.py:79-83)."""
+        Path(path).write_text(json.dumps(asdict(self), default=str, indent=2))
 
     def save_to_dir(self, directory: Path) -> Path:
         directory = Path(directory)
         directory.mkdir(parents=True, exist_ok=True)
         path = directory / self.get_result_filename()
-        path.write_text(json.dumps(asdict(self), default=str, indent=2))
+        self.save(path)
         return path
 
     @classmethod

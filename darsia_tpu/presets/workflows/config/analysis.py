@@ -159,6 +159,12 @@ class AnalysisThresholdingConfig:
         )
         return self
 
+    def error(self):
+        """Section-hint raiser (reference config parity)."""
+        raise ValueError(
+            "Use [analysis.thresholding] in the config file to load thresholding."
+        )
+
 
 @dataclass
 class AnalysisSegmentationConfig:
@@ -193,6 +199,12 @@ class AnalysisSegmentationConfig:
             Path(folder) if folder else Path(results) / "segmentation"
         )
         return self
+
+    def error(self):
+        """Section-hint raiser (reference config parity)."""
+        raise ValueError(
+            "Use [analysis.segmentation] in the config file to load segmentation."
+        )
 
 
 @dataclass
@@ -341,6 +353,12 @@ class AnalysisFingersConfig:
         self.folder = Path(folder) if folder else Path(results) / "fingers"
         self.img_folder = self.folder / "img"
         return self
+
+    def error(self):
+        """Section-hint raiser (reference config parity)."""
+        raise ValueError(
+            "Use [analysis.fingers] in the config file to load fingers."
+        )
 
 
 @dataclass

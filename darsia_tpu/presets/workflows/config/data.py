@@ -42,6 +42,11 @@ class DataRegistry:
     def get(self, name: str) -> Optional[TimeData]:
         return self.selections.get(name)
 
+    def keys(self) -> list:
+        """Sorted names of all registered selections (reference
+        data_registry.py:205-211)."""
+        return sorted(self.selections)
+
     def resolve(self, name) -> TimeData:
         if name is None or name not in self.selections:
             raise KeyError(

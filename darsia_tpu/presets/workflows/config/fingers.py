@@ -68,3 +68,11 @@ class FingersConfig:
                 "analysis.fingers.gradient_mode",
             )
         return self
+
+    def error(self):
+        """Section-hint raiser (reference config parity)."""
+        raise ValueError(
+            "Use [analysis.fingers] in the config file to load fingers."
+        )
+
+

@@ -76,3 +76,11 @@ class SegmentationConfig:
             sec.get("contour_smoother_options", {}),
         )
         return self
+
+    def error(self):
+        """Section-hint raiser (reference config parity)."""
+        raise ValueError(
+            "Use [analysis.segmentation] in the config file to load segmentation."
+        )
+
+

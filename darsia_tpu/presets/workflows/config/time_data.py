@@ -40,6 +40,15 @@ class TimeInterval:
         step = self.step if self.step else (self.end - self.start)
         return np.arange(self.start, self.end + 0.5 * step, step).tolist()
 
+    def generate_times(self) -> list:
+        """Unique sample times (reference time_data.py:49-51)."""
+        return np.unique(self.times()).tolist()
+
+    def generate_times_with_uncertainty(self) -> list:
+        """(time, tol) pairs (reference time_data.py:52-55)."""
+        tol = self.tol if self.tol is not None else 0.0
+        return [(t, tol) for t in self.generate_times()]
+
     @classmethod
     def from_dict(cls, data: dict) -> "TimeInterval":
         return cls(
@@ -144,6 +153,20 @@ class TimeData:
             or self.image_intervals
             or self.image_windows
             or self.image_paths
+        )
+
+    def get_times_with_uncertainty(self) -> list:
+        """All requested (time, tol) pairs across the selection modes
+        (reference time_data.py:253-300), sorted by time."""
+        pairs = [(t, self.default_tol) for t in self.image_times]
+        for interval in self.image_intervals.values():
+            pairs.extend(interval.generate_times_with_uncertainty())
+        return sorted(pairs, key=lambda p: p[0])
+
+    def error(self):
+        raise ValueError(
+            "Use key `data` within the considered subsection in the config "
+            "file. Supported modes: time, interval, or path."
         )
 
     # Per-mode views (reference ``time_data.py:244-251`` stores these as

@@ -121,3 +121,11 @@ class VideoConfig:
             else (Path(results) / "video" if results else None)
         )
         return self
+
+    def error(self):
+        """Section-hint raiser (reference config parity)."""
+        raise ValueError(
+            "Use [video] in the config file to load video utility config."
+        )
+
+

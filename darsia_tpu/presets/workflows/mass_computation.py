@@ -92,3 +92,44 @@ class MassComputation:
         for img in images:
             analysis.append(self(img), name=getattr(img, "name", ""))
         return analysis
+
+    def compute_total_mass(self, img) -> float:
+        """Total mass of a signal image (reference
+        mass_computation.py:441-453: run the chain, integrate the mass
+        field over the geometry)."""
+        return self.integrated_mass(img)
+
+    def calibration(self, calibration_data: dict) -> None:
+        """Per-label linear rescaling from target/current means (reference
+        mass_computation.py:455-462)."""
+        if not hasattr(self, "transformations"):
+            self.transformations: dict = {}
+        for label, data in calibration_data.items():
+            target_mean = data["target_mean"]
+            current_mean = data["current_mean"]
+            scale = target_mean / current_mean if current_mean != 0 else 1.0
+            self.transformations[label] = lambda x, s=scale: x * s
+
+    def load(self, path) -> None:
+        """Load the fitted PW transformation (reference
+        mass_computation.py:464-465)."""
+        self.transformation = PWTransformation.load(path)
+
+    def save(self, path) -> None:
+        """Persist the fitted PW transformation (reference
+        mass_computation.py:467-468)."""
+        self.transformation.save(path)
+
+    def show(self) -> None:  # pragma: no cover - visual
+        """Plot the signal->mass transformation curve (reference
+        mass_computation.py:470-472 leaves this unimplemented; here the
+        PW nodes are rendered)."""
+        import matplotlib.pyplot as plt
+
+        supports = np.asarray(self.transformation.supports)
+        values = np.asarray(self.transformation.values)
+        plt.figure("MassComputation transformation")
+        plt.plot(supports, values, "o-")
+        plt.xlabel("signal")
+        plt.ylabel("transformed signal")
+        plt.show()

@@ -112,6 +112,86 @@ class SegmentationContours:
             plt.close(fig)
         return fig
 
+    def add_contour_values(
+        self, contour_image, masks: list, thresholds: list, values_config
+    ):
+        """Stamp threshold value labels next to the contours (reference
+        segmentation_contours.py:298-362): one cv2 text per contour at its
+        topmost point, duplicates within the configured minimum distance
+        suppressed, alpha-blended over the rendered contour image."""
+        import cv2
+
+        base = np.asarray(
+            contour_image.img if hasattr(contour_image, "img") else contour_image
+        )
+        if np.issubdtype(base.dtype, np.floating):
+            base = (np.clip(base, 0, 1) * 255).astype(np.uint8)
+        base = np.ascontiguousarray(base)
+        overlay = base.copy()
+
+        alpha = max(0.0, min(1.0, getattr(values_config, "value_alpha", 1.0)))
+        font_scale = max(0.1, float(getattr(values_config, "value_size", 0.5)))
+        min_distance = max(
+            1.0, float(getattr(values_config, "value_min_distance_px", 40.0))
+        )
+        max_per_contour = max(
+            0, int(getattr(values_config, "value_max_per_contour", 1))
+        )
+        fmt = getattr(values_config, "value_format", "{:.2f}")
+        color = list(getattr(values_config, "value_color", None) or [255, 255, 255])
+        color = tuple(int(np.clip(c, 0, 255)) for c in (color + [255] * 3)[:3])
+        thickness = max(1, int(round(1.2 * font_scale)))
+
+        used: list = []
+        for mask, threshold in zip(masks, thresholds):
+            binary = np.asarray(
+                mask.img if hasattr(mask, "img") else mask
+            ).astype(np.uint8)
+            contours, _ = cv2.findContours(
+                binary, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE
+            )
+            try:
+                text = fmt.format(float(threshold))
+            except (ValueError, IndexError):
+                text = str(threshold)
+            for contour in contours:
+                pts = contour.reshape(-1, 2)
+                order = np.argsort(pts[:, 1])  # topmost candidates first
+                placed = 0
+                for idx in order:
+                    if placed >= max_per_contour:
+                        break
+                    pos = (int(pts[idx, 0]), int(pts[idx, 1]))
+                    if any(
+                        (pos[0] - u[0]) ** 2 + (pos[1] - u[1]) ** 2
+                        < min_distance**2
+                        for u in used
+                    ):
+                        continue
+                    cv2.putText(
+                        overlay,
+                        text,
+                        pos,
+                        cv2.FONT_HERSHEY_SIMPLEX,
+                        font_scale,
+                        color,
+                        thickness,
+                        cv2.LINE_AA,
+                    )
+                    used.append(pos)
+                    placed += 1
+
+        blended = (
+            cv2.addWeighted(overlay, alpha, base, 1.0 - alpha, 0.0)
+            if alpha < 1.0
+            else overlay
+        )
+        if hasattr(contour_image, "copy") and hasattr(contour_image, "img"):
+            out = contour_image.copy()
+            out.img = blended
+            return out
+        return blended
+
     def __call__(
         self, image, background=None, path=None, show: bool = False, **kwargs
     ):
