@@ -25,7 +25,53 @@ __all__ = [
     "select_image_paths",
     "build_restoration",
     "prepare_analysis_context",
+    "infer_require_color_to_mass_from_config",
 ]
+
+
+def infer_require_color_to_mass_from_config(
+    path,
+    *,
+    include_segmentation: bool = False,
+    include_fingers: bool = False,
+    include_thresholding: bool = False,
+    include_mass: bool = False,
+    include_volume: bool = False,
+) -> bool:
+    """Whether the selected analyses need the color-to-mass pipeline
+    (reference analysis_context.py:30-73): mass/volume always do; for the
+    other steps, the decision follows the configured modes.  Unknown or
+    absent configuration conservatively answers True."""
+    from ..mode_resolution import mode_requires_color_to_mass
+
+    if include_mass or include_volume:
+        return True
+    config = FluidFlowerConfig(path, require_results=True, require_data=True)
+    if config.analysis is None:
+        return True
+
+    def _collect(step_config) -> list:
+        if step_config is None:
+            return []
+        cfg = getattr(step_config, "config", step_config)
+        if isinstance(cfg, dict):
+            return [c.mode for c in cfg.values() if getattr(c, "mode", None)]
+        mode = getattr(cfg, "mode", None)
+        return [mode] if mode else []
+
+    modes: list = []
+    if include_segmentation:
+        modes.extend(_collect(config.analysis.segmentation))
+    if include_fingers:
+        modes.extend(_collect(config.analysis.fingers))
+    if include_thresholding and config.analysis.thresholding is not None:
+        modes.extend(
+            layer.mode
+            for layer in config.analysis.thresholding.layers.values()
+        )
+    if not modes:
+        return True
+    return any(mode_requires_color_to_mass(mode) for mode in modes)
 
 
 @dataclass

@@ -23,7 +23,7 @@ from .streaming import publish_stream_images
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["analysis_mass_from_context", "run_mass_analysis"]
+__all__ = ["analysis_mass", "analysis_mass_from_context", "run_mass_analysis"]
 
 _DEFAULT_MASS_EXPORT_MODES = ["mass"]
 
@@ -190,3 +190,13 @@ def run_mass_analysis(path, cls=None, all: bool = False, **kwargs):
         cls=cls or Rig, path=path, all=all, require_color_to_mass=True
     )
     return analysis_mass_from_context(ctx, **kwargs)
+
+
+def analysis_mass(
+    cls, path, show: bool = False, all: bool = False, stream_callback=None
+):
+    """Standalone mass-analysis entry point with the reference's argument
+    order (reference analysis_mass.py:388-410)."""
+    return run_mass_analysis(
+        path, cls=cls, all=all, show=show, stream_callback=stream_callback
+    )

@@ -9,7 +9,12 @@ from typing import Any, Callable, Optional
 
 import numpy as np
 
-__all__ = ["encode_low_resolution_png", "publish_preview"]
+__all__ = [
+    "encode_low_resolution_png",
+    "publish_preview",
+    "publish_stream_images",
+    "publish_stream_payload",
+]
 
 
 def _to_uint8_rgb(image_like: Any) -> np.ndarray:
@@ -66,6 +71,25 @@ def publish_preview(
         stream_callback(encode_low_resolution_png(image_like))
     except Exception:
         pass
+
+
+def publish_stream_payload(
+    stream_callback, payload: dict, logger=None, error_message: str = ""
+) -> None:
+    """Publish an already-encoded payload, guarding callback failures; a
+    failing callback is signaled with a None payload (reference
+    streaming.py:114-131)."""
+    if stream_callback is None:
+        return
+    try:
+        stream_callback(payload)
+    except Exception:
+        if logger is not None and error_message:
+            logger.exception(error_message)
+        try:
+            stream_callback(None)
+        except Exception:
+            pass
 
 
 def publish_stream_images(

@@ -26,7 +26,7 @@ from .rig import Rig
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["build_parser_for_analysis", "run_analysis", "main"]
+__all__ = ["build_parser_for_analysis", "run_analysis", "preset_analysis", "main"]
 
 _STEP_HELP = {
     "cropping": "Cropping analysis: export corrected images.",
@@ -114,6 +114,15 @@ def main(argv=None) -> None:
         return
     logging.basicConfig(level=logging.INFO)
     run_analysis(Rig, args)
+
+
+def preset_analysis(rig_cls, **kwargs):
+    """Reference-named CLI entry point (reference
+    user_interface_analysis.py's preset_analysis): parse ``sys.argv`` and run
+    the analysis front-end for a user-supplied Rig subclass."""
+    parser = build_parser_for_analysis()
+    args = parser.parse_args()
+    run_analysis(rig_cls, args, **kwargs)
 
 
 if __name__ == "__main__":

@@ -18,7 +18,7 @@ from .rig import Rig
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["build_parser_for_calibration", "run_calibration", "main"]
+__all__ = ["build_parser_for_calibration", "run_calibration", "preset_calibration", "main"]
 
 
 def build_parser_for_calibration() -> argparse.ArgumentParser:
@@ -62,6 +62,15 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     run_calibration(Rig, args)
+
+
+def preset_calibration(rig_cls, **kwargs):
+    """Reference-named CLI entry point (reference
+    user_interface_calibration.py's preset_calibration): parse ``sys.argv`` and run
+    the calibration front-end for a user-supplied Rig subclass."""
+    parser = build_parser_for_calibration()
+    args = parser.parse_args()
+    run_calibration(rig_cls, args, **kwargs)
 
 
 if __name__ == "__main__":

@@ -14,7 +14,7 @@ from .rig import Rig
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["build_parser_for_comparison", "run_comparison", "main"]
+__all__ = ["build_parser_for_comparison", "run_comparison", "preset_comparison", "main"]
 
 
 def build_parser_for_comparison() -> argparse.ArgumentParser:
@@ -57,6 +57,15 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     run_comparison(Rig, args)
+
+
+def preset_comparison(rig_cls, **kwargs):
+    """Reference-named CLI entry point (reference
+    user_interface_comparison.py's preset_comparison): parse ``sys.argv`` and run
+    the comparison front-end for a user-supplied Rig subclass."""
+    parser = build_parser_for_comparison()
+    args = parser.parse_args()
+    run_comparison(rig_cls, args, **kwargs)
 
 
 if __name__ == "__main__":

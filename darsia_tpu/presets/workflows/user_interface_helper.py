@@ -14,7 +14,7 @@ from .rig import Rig
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["build_parser_for_helper", "run_helper", "main"]
+__all__ = ["build_parser_for_helper", "run_helper", "preset_helper", "main"]
 
 
 def build_parser_for_helper() -> argparse.ArgumentParser:
@@ -55,6 +55,15 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     run_helper(Rig, args)
+
+
+def preset_helper(rig_cls, **kwargs):
+    """Reference-named CLI entry point (reference
+    user_interface_helper.py's preset_helper): parse ``sys.argv`` and run
+    the helper front-end for a user-supplied Rig subclass."""
+    parser = build_parser_for_helper()
+    args = parser.parse_args()
+    run_helper(rig_cls, args, **kwargs)
 
 
 if __name__ == "__main__":

@@ -21,7 +21,7 @@ from .setup.setup_rig import delete_rig
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["build_parser_for_setup", "run_setup", "main"]
+__all__ = ["build_parser_for_setup", "run_setup", "preset_setup", "main"]
 
 
 def build_parser_for_setup() -> argparse.ArgumentParser:
@@ -73,6 +73,15 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     run_setup(Rig, args)
+
+
+def preset_setup(rig_cls, **kwargs):
+    """Reference-named CLI entry point (reference
+    user_interface_setup.py's preset_setup): parse ``sys.argv`` and run
+    the setup front-end for a user-supplied Rig subclass."""
+    parser = build_parser_for_setup()
+    args = parser.parse_args()
+    run_setup(rig_cls, args, **kwargs)
 
 
 if __name__ == "__main__":
