@@ -172,14 +172,13 @@ class TestLabelColorPathMapRegressionFidelity:
             arr += 0.01 * rng.standard_normal(arr.shape)
             images.append(mod.Image(np.clip(arr, 0, 1), **meta))
         baseline = mod.Image(baseline_arr.copy(), **meta)
-        if is_ref:
-            cr = mod.ColorRange(
-                min_color=-np.ones(3),
-                max_color=np.ones(3),
-                color_mode=mod.ColorMode.RELATIVE,
-            )
-        else:
-            cr = mod.ColorRange(min_color=-np.ones(3), max_color=np.ones(3))
+        # Both builds accept the same constructor now (the repo's
+        # ColorRange gained color_mode in the method-parity sweep).
+        cr = mod.ColorRange(
+            min_color=-np.ones(3),
+            max_color=np.ones(3),
+            color_mode=mod.ColorMode.RELATIVE,
+        )
         reg = mod.LabelColorPathMapRegression(
             labels_img, cr, resolution=9, mask=mask_img
         )
