@@ -250,3 +250,126 @@ class TestL1ModeFidelity:
         r_val = float(np.sum(r_qw * r_qp[:, 0] ** 2))
         # Upstream misses polynomial exactness (documented defect).
         assert not np.isclose(r_val, 1.0 / 3.0, atol=1e-6)
+
+
+class TestSaddleSeamFidelity:
+    """Matrix-free saddle seams vs the reference's assembled sparse blocks
+    (reference beckmann_problem.py:330-349, 475-488).
+
+    The repo's BeckmannProblem exposes the reference's sparse-matrix seams
+    as stencil closures on flat (ndofs,) vectors.  These tests apply the
+    reference's assembled ``sps.bmat`` and the closure to the same state
+    and assert elementwise agreement — pinning the divergence/gradient
+    stencils, the face ordering (per-axis F-order blocks), and the
+    cell-volume scaling of the flux block.
+    """
+
+    def _problems(self, ref, mobility="face_based"):
+        from darsia_tpu.measure.beckmann import BeckmannNewtonSolver
+
+        r_problem = ref.BeckmannProblem(
+            ref.Grid((4, 4), 0.25),
+            None,
+            {
+                "l1_mode": ref.L1Mode("constant_cell_projection"),
+                "mobility_mode": ref.MobilityMode(mobility),
+            },
+        )
+        o_problem = BeckmannNewtonSolver(
+            dt.Grid((4, 4), 0.25),
+            options={"mobility_mode": dt.MobilityMode(mobility)},
+        )
+        return r_problem, o_problem
+
+    def _state(self, o_problem, seed=0):
+        rng = np.random.default_rng(seed)
+        fluxes = tuple(
+            rng.normal(size=s).astype(np.float64)
+            for s in o_problem.grid.faces_shape
+        )
+        pressure = rng.normal(size=(4, 4)).astype(np.float64)
+        return fluxes, pressure
+
+    def _ref_vector(self, o_problem, fluxes, pressure):
+        # Reference layout: [faces (per-axis F-order blocks), cells
+        # (F-order), lagrange multiplier].
+        return np.concatenate(
+            [
+                o_problem.grid.flat_flux([np.asarray(f) for f in fluxes]),
+                pressure.ravel(order="F"),
+                [0.0],
+            ]
+        )
+
+    def _split_ours(self, o_problem, flat):
+        flux = o_problem.grid.flat_flux(
+            [np.asarray(a) for a in o_problem.flux_view(flat)]
+        )
+        cell = np.asarray(o_problem.pressure_view(flat)).ravel(order="F")
+        return flux, cell
+
+    def test_custom_flux_block_saddle_operator(self, ref):
+        import scipy.sparse as sps
+
+        r_problem, o_problem = self._problems(ref)
+        fluxes, pressure = self._state(o_problem)
+        rng = np.random.default_rng(1)
+        w = tuple(
+            np.abs(rng.normal(size=s)) + 0.5
+            for s in o_problem.grid.faces_shape
+        )
+        w_flat = o_problem.grid.flat_flux([np.asarray(a) for a in w])
+
+        matrix = r_problem.broken_darcy_with_custom_flux_block(
+            sps.diags(w_flat).tocsc()
+        )
+        res_ref = np.asarray(
+            matrix @ self._ref_vector(o_problem, fluxes, pressure)
+        ).ravel()
+
+        operator = o_problem.broken_darcy_with_custom_flux_block(
+            tuple(np.asarray(a, np.float32) for a in w)
+        )
+        res_our = operator(
+            o_problem.flat_view(
+                tuple(np.asarray(f, np.float32) for f in fluxes),
+                pressure.astype(np.float32),
+            )
+        )
+        flux_our, cell_our = self._split_ours(o_problem, res_our)
+        num_faces = r_problem.grid.num_faces
+        np.testing.assert_allclose(
+            flux_our, res_ref[:num_faces], rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            cell_our, res_ref[num_faces:-1], rtol=1e-5, atol=1e-5
+        )
+        # The reference's flux mass matrix is the cell-volume diagonal the
+        # closure bakes into exact_linearization.
+        np.testing.assert_allclose(
+            r_problem.mass_matrix_faces.diagonal(),
+            o_problem.cell_vol,
+            rtol=1e-12,
+        )
+
+    def test_exact_linearization_matches(self, ref):
+        r_problem, o_problem = self._problems(ref, mobility="face_based")
+        fluxes, pressure = self._state(o_problem)
+        sol_ref = self._ref_vector(o_problem, fluxes, pressure)
+        res_ref = np.asarray(
+            r_problem.exact_linearization(sol_ref) @ sol_ref
+        ).ravel()
+
+        sol_our = o_problem.flat_view(
+            tuple(np.asarray(f, np.float32) for f in fluxes),
+            pressure.astype(np.float32),
+        )
+        res_our = o_problem.exact_linearization(sol_our)(sol_our)
+        flux_our, cell_our = self._split_ours(o_problem, res_our)
+        num_faces = r_problem.grid.num_faces
+        np.testing.assert_allclose(
+            flux_our, res_ref[:num_faces], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            cell_our, res_ref[num_faces:-1], rtol=1e-5, atol=1e-5
+        )
