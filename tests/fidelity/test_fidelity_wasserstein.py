@@ -373,3 +373,82 @@ class TestSaddleSeamFidelity:
         np.testing.assert_allclose(
             cell_our, res_ref[num_faces:-1], rtol=1e-5, atol=1e-5
         )
+
+    def test_eliminate_flux_schur_reduction(self, ref):
+        """Matrix-free eliminate_flux == the reference's block Gauss
+        elimination (reference beckmann_problem.py:945-1016): reduced rhs,
+        Schur operator application, and the inverse flux diagonal all
+        agree elementwise (pressure rows; the multiplier row is the
+        mean-zero gauge here)."""
+        r_problem = ref.BeckmannProblem(
+            ref.Grid((4, 4), 0.25),
+            None,
+            {
+                "l1_mode": ref.L1Mode("constant_cell_projection"),
+                "mobility_mode": ref.MobilityMode("face_based"),
+                "formulation": "flux_reduced",
+            },
+        )
+        from darsia_tpu.measure.beckmann import BeckmannNewtonSolver
+
+        o_problem = BeckmannNewtonSolver(
+            dt.Grid((4, 4), 0.25),
+            options={"mobility_mode": dt.MobilityMode("face_based")},
+        )
+        fluxes, pressure = self._state(o_problem)
+        sol_ref = self._ref_vector(o_problem, fluxes, pressure)
+        jacobian = r_problem.exact_linearization(sol_ref)
+        residual = np.asarray(jacobian @ sol_ref).ravel()
+        residual[-1] = 0.0  # the reference requires a zero multiplier row
+        reduced_jac, reduced_res, ref_j_inv = r_problem.eliminate_flux(
+            jacobian.tocsc(), residual
+        )
+
+        num_faces = r_problem.grid.num_faces
+
+        def _unflat_faces(vec):
+            out, offset = [], 0
+            for d in range(2):
+                shape = tuple(o_problem.grid.faces_shape[d])
+                n = int(np.prod(shape))
+                out.append(np.reshape(vec[offset:offset + n], shape, order="F"))
+                offset += n
+            return tuple(out)
+
+        face_weights = o_problem.compute_face_weights(
+            tuple(np.asarray(f, np.float32) for f in fluxes)
+        )
+        flux_res = tuple(
+            np.asarray(a, np.float32)
+            for a in _unflat_faces(residual[:num_faces])
+        )
+        div_res = np.reshape(
+            residual[num_faces:-1], (4, 4), order="F"
+        ).astype(np.float32)
+        schur, reduced_rhs, flux_inv = o_problem.eliminate_flux(
+            face_weights, flux_res, div_res
+        )
+
+        num_cells = 16
+        np.testing.assert_allclose(
+            np.asarray(reduced_rhs).ravel(order="F"),
+            np.asarray(reduced_res).ravel()[:num_cells],
+            rtol=1e-4,
+            atol=1e-5,
+        )
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(4, 4)).astype(np.float32)
+        ref_out = np.asarray(
+            reduced_jac @ np.concatenate([x.ravel(order="F"), [0.0]])
+        ).ravel()
+        np.testing.assert_allclose(
+            np.asarray(schur(x)).ravel(order="F"),
+            ref_out[:num_cells],
+            rtol=1e-4,
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            o_problem.grid.flat_flux([np.asarray(a) for a in flux_inv]),
+            ref_j_inv.diagonal(),
+            rtol=1e-5,
+        )
