@@ -71,6 +71,10 @@ class SegmentationConfig:
         self.alpha = list(sec.get("alpha", [1.0] * len(self.thresholds)))
         self.linewidth = int(sec.get("linewidth", 2))
         self.values = SegmentationValueLabelsConfig().load(sec.get("values", {}))
+        # The value labels inherit the contour color unless overridden
+        # (reference test_segmentation_contour_values.py pins this).
+        if "value_color" not in sec.get("values", {}):
+            self.values.value_color = list(self.color)
         self.contour_smoother = make_contour_smoother(
             sec.get("contour_smoother", "none"),
             sec.get("contour_smoother_options", {}),
