@@ -26,7 +26,37 @@ __all__ = [
     "build_restoration",
     "prepare_analysis_context",
     "infer_require_color_to_mass_from_config",
+    "iter_prefetched_images",
 ]
+
+
+def iter_prefetched_images(ctx, image_paths=None, depth: int = 2):
+    """Yield ``(index, path, image_or_None)`` over an analysis image set
+    with the host decode prefetched on worker threads.
+
+    The reference's per-image loops read inline
+    (``analysis_mass.py:216-400``); on TPU the host JPEG decode
+    serializes with device compute, so up to ``depth`` upcoming
+    ``read_image`` calls run ahead on a thread pool (cv2 releases the
+    GIL; JAX dispatch is thread-safe).  Read failures are logged and
+    yielded as ``None`` so callers keep the loops' best-effort
+    semantics.  Indices start at 1, matching the progress events.
+    """
+    import logging
+
+    from ....utils.prefetch import prefetch_map
+
+    logger = logging.getLogger(__name__)
+    paths = [Path(p) for p in (ctx.image_paths if image_paths is None else image_paths)]
+    results = prefetch_map(ctx.fluidflower.read_image, paths, depth=depth)
+    for index, result in enumerate(results, start=1):
+        if not result.ok:
+            logger.error(
+                "Failed to read image '%s': %s", result.item, result.error
+            )
+            yield index, Path(result.item), None
+        else:
+            yield index, Path(result.item), result.value
 
 
 def infer_require_color_to_mass_from_config(

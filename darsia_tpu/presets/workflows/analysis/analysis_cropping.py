@@ -13,7 +13,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from .analysis_context import AnalysisContext, prepare_analysis_context
+from .analysis_context import AnalysisContext, prepare_analysis_context, iter_prefetched_images
 from .progress import publish_image_progress, publish_step_complete, publish_step_start
 from .streaming import publish_stream_images
 
@@ -42,10 +42,10 @@ def analysis_cropping_from_context(
         progress_callback, step="cropping", image_total=len(ctx.image_paths)
     )
     started = time.monotonic()
-    for index, path in enumerate(ctx.image_paths, start=1):
+    for index, path, img in iter_prefetched_images(ctx):
         t0 = time.monotonic()
-        path = Path(path)
-        img = ctx.fluidflower.read_image(path)
+        if img is None:
+            continue
         if "jpg" in formats:
             import matplotlib
 

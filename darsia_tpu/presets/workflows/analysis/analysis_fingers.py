@@ -35,7 +35,7 @@ from ....analysis.skeleton_analysis import (
 )
 from ..mode_resolution import mode_requires_color_to_mass
 from ..segmentation_contours import SimpleSegmentation
-from .analysis_context import AnalysisContext, prepare_analysis_context
+from .analysis_context import AnalysisContext, prepare_analysis_context, iter_prefetched_images
 from .progress import publish_image_progress, publish_step_complete, publish_step_start
 
 logger = logging.getLogger(__name__)
@@ -227,13 +227,9 @@ def analysis_fingers_from_context(
         progress_callback, step="fingers", image_total=len(ctx.image_paths)
     )
     started = time.monotonic()
-    for index, path in enumerate(ctx.image_paths, start=1):
+    for index, path, img in iter_prefetched_images(ctx):
         t0 = time.monotonic()
-        path = Path(path)
-        try:
-            img = ctx.fluidflower.read_image(path)
-        except Exception as exc:
-            logger.error("Failed to read image '%s': %s", path, exc)
+        if img is None:
             continue
         img_time = float(np.asarray(img.time)) if img.time is not None else None
         step_time = img_time if img_time is not None else float(index)

@@ -79,13 +79,11 @@ def analysis_mass_from_context(
     )
     step_started = time.monotonic()
 
-    for image_index, path in enumerate(image_paths, start=1):
+    from .analysis_context import iter_prefetched_images
+
+    for image_index, path, img in iter_prefetched_images(ctx, image_paths):
         image_started = time.monotonic()
-        path = Path(path)
-        try:
-            img = fluidflower.read_image(path)
-        except Exception as e:
-            logger.error("Failed to read image '%s': %s", path, e)
+        if img is None:
             continue
         result = color_to_mass_analysis(img)
         image_time = result.time

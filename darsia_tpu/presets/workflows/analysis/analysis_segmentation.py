@@ -12,7 +12,7 @@ from pathlib import Path
 from typing import Callable, Optional
 
 from ..segmentation_contours import SegmentationContours
-from .analysis_context import AnalysisContext, prepare_analysis_context
+from .analysis_context import AnalysisContext, prepare_analysis_context, iter_prefetched_images
 from .progress import publish_image_progress, publish_step_complete, publish_step_start
 from .scalar_products import analysis_scalar_products
 
@@ -45,10 +45,10 @@ def analysis_segmentation_from_context(
         progress_callback, step="segmentation", image_total=len(ctx.image_paths)
     )
     started = time.monotonic()
-    for index, path in enumerate(ctx.image_paths, start=1):
+    for index, path, img in iter_prefetched_images(ctx):
         t0 = time.monotonic()
-        path = Path(path)
-        img = ctx.fluidflower.read_image(path)
+        if img is None:
+            continue
         mass_result = (
             ctx.color_to_mass_analysis(img) if needs_mass else None
         )

@@ -15,7 +15,7 @@ from typing import Callable, Optional
 import numpy as np
 
 from ..mode_resolution import mode_requires_color_to_mass, resolve_mode_image
-from .analysis_context import AnalysisContext, prepare_analysis_context
+from .analysis_context import AnalysisContext, prepare_analysis_context, iter_prefetched_images
 from .progress import publish_image_progress, publish_step_complete, publish_step_start
 from .scalar_products import analysis_scalar_products
 
@@ -67,10 +67,10 @@ def analysis_thresholding_from_context(
         progress_callback, step="thresholding", image_total=len(ctx.image_paths)
     )
     started = time.monotonic()
-    for index, path in enumerate(ctx.image_paths, start=1):
+    for index, path, img in iter_prefetched_images(ctx):
         t0 = time.monotonic()
-        path = Path(path)
-        img = ctx.fluidflower.read_image(path)
+        if img is None:
+            continue
         mass_result = None
         scalar_products = None
         if needs_mass:

@@ -12,7 +12,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from .analysis_context import AnalysisContext, prepare_analysis_context
+from .analysis_context import AnalysisContext, prepare_analysis_context, iter_prefetched_images
 from .progress import publish_image_progress, publish_step_complete, publish_step_start
 
 logger = logging.getLogger(__name__)
@@ -52,10 +52,10 @@ def analysis_volume_from_context(
         progress_callback, step="volume", image_total=len(ctx.image_paths)
     )
     started = time.monotonic()
-    for index, path in enumerate(ctx.image_paths, start=1):
+    for index, path, img in iter_prefetched_images(ctx):
         t0 = time.monotonic()
-        path = Path(path)
-        img = fluidflower.read_image(path)
+        if img is None:
+            continue
         result = ctx.color_to_mass_analysis(img)
         saturation = result.saturation_g
         row = {
