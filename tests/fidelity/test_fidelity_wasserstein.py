@@ -277,7 +277,10 @@ class TestSaddleSeamFidelity:
         )
         o_problem = BeckmannNewtonSolver(
             dt.Grid((4, 4), 0.25),
-            options={"mobility_mode": dt.MobilityMode(mobility)},
+            options={
+                "mobility_mode": dt.MobilityMode(mobility),
+                "l1_mode": dt.L1Mode("constant_cell_projection"),
+            },
         )
         return r_problem, o_problem
 
@@ -352,8 +355,9 @@ class TestSaddleSeamFidelity:
             rtol=1e-12,
         )
 
-    def test_exact_linearization_matches(self, ref):
-        r_problem, o_problem = self._problems(ref, mobility="face_based")
+    @pytest.mark.parametrize("mobility", ["face_based", "cell_based"])
+    def test_exact_linearization_matches(self, ref, mobility):
+        r_problem, o_problem = self._problems(ref, mobility=mobility)
         fluxes, pressure = self._state(o_problem)
         sol_ref = self._ref_vector(o_problem, fluxes, pressure)
         res_ref = np.asarray(
