@@ -26,7 +26,94 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .halo import halo_exchange
 
-__all__ = ["sharded_tpfa_cg"]
+__all__ = ["sharded_tpfa_cg", "projected_pcg_local", "local_tpfa_operator"]
+
+
+def projected_pcg_local(A, diag, rhs, axis: str, tol: float, maxiter: int):
+    """Per-shard body of the nullspace-projected Jacobi-PCG.
+
+    ``A`` is the shard-local operator closure (must already perform its
+    halo exchanges); ``diag`` its diagonal for the Jacobi preconditioner;
+    reductions ride ``lax.psum`` over ``axis``.  Returns the mean-zero
+    solution block.  Runs inside ``shard_map`` — also reused by the
+    sharded Beckmann Newton loop, where it is called once per outer
+    iteration inside the same program.
+    """
+    n_total = lax.psum(jnp.array(rhs.size, jnp.float32), axis_name=axis)
+
+    def project(v):
+        total = lax.psum(jnp.sum(v), axis_name=axis)
+        return v - total / n_total
+
+    b = project(rhs)
+    x = jnp.zeros_like(b)
+    r = b - A(x)
+    z = project(r / diag)
+    p_vec = z
+    rz = lax.psum(jnp.vdot(r, z), axis_name=axis)
+    b_norm = jnp.sqrt(
+        jnp.maximum(lax.psum(jnp.sum(b * b), axis_name=axis), 1e-30)
+    )
+
+    def cond(state):
+        _, r, _, rz, k = state
+        r_norm = jnp.sqrt(lax.psum(jnp.sum(r * r), axis_name=axis))
+        healthy = jnp.logical_and(jnp.isfinite(rz), rz > 1e-28)
+        return jnp.logical_and(
+            jnp.logical_and(k < maxiter, r_norm > tol * b_norm), healthy
+        )
+
+    def body(state):
+        x, r, p_vec, rz, k = state
+        Ap = A(p_vec)
+        pAp = lax.psum(jnp.vdot(p_vec, Ap), axis_name=axis)
+        alpha = rz / jnp.maximum(pAp, 1e-30)
+        x_new = project(x + alpha * p_vec)
+        r_new = r - alpha * Ap
+        z = project(r_new / diag)
+        rz_new = lax.psum(jnp.vdot(r_new, z), axis_name=axis)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        return x_new, r_new, z + beta * p_vec, rz_new, k + 1
+
+    x, _, _, _, _ = lax.while_loop(cond, body, (x, r, p_vec, rz, 0))
+    return project(x)
+
+
+def local_tpfa_operator(trans_rows_p, trans_col, axis: str, num: int):
+    """(A, diag) for the shard-local TPFA block given padded row faces.
+
+    ``trans_rows_p[k]`` is the transmissibility of the face ABOVE local
+    row ``k`` (shard 0's row 0 is the nonexistent global boundary face and
+    is masked).  Used both by :func:`sharded_tpfa_cg` and the sharded
+    Beckmann Newton iteration.
+    """
+    below = lax.ppermute(
+        trans_rows_p[:1], axis, [(i, (i - 1) % num) for i in range(num)]
+    )
+    trans_row_ext = jnp.concatenate([trans_rows_p, below], axis=0)
+
+    def A(p):
+        p_ext = halo_exchange(p, 1, axis, axis=0)
+        return _local_tpfa_apply(p_ext, trans_row_ext, trans_col, axis)
+
+    local_rows = trans_rows_p.shape[0]
+    idx = lax.axis_index(axis)
+    row_ids = lax.broadcasted_iota(
+        jnp.int32, (local_rows, trans_rows_p.shape[1]), 0
+    )
+    diag_col = jnp.zeros_like(trans_rows_p)
+    diag_col = diag_col.at[:, :-1].add(trans_col)
+    diag_col = diag_col.at[:, 1:].add(trans_col)
+    t_up = jnp.where(
+        jnp.logical_and(idx == 0, row_ids == 0), 0.0, trans_row_ext[:-1]
+    )
+    t_down = jnp.where(
+        jnp.logical_and(idx == num - 1, row_ids == local_rows - 1),
+        0.0,
+        trans_row_ext[1:],
+    )
+    diag = jnp.maximum(diag_col + t_up + t_down, 1e-30)
+    return A, diag
 
 
 def _local_tpfa_apply(p_ext, trans_row_ext, trans_col, axis_name):
@@ -91,75 +178,8 @@ def sharded_tpfa_cg(
         # trans_rows_p: (local_rows, W) — padded global row faces, entry k
         # is the face ABOVE local row k (global face r-1/2); the pad row 0
         # of shard 0 is zero (no boundary face).
-        n_total = H * W
-
-        def project(v):
-            total = lax.psum(jnp.sum(v), axis_name=axis)
-            return v - total / n_total
-
-        def A(p):
-            p_ext = halo_exchange(p, 1, axis, axis=0)
-            # Extended row faces: faces above each local row + face below
-            # the last local row (= neighbour's first "above" face).
-            below = lax.ppermute(
-                trans_rows_p[:1],
-                axis,
-                [(i, (i - 1) % num) for i in range(num)],
-            )
-            trans_row_ext = jnp.concatenate([trans_rows_p, below], axis=0)
-            return _local_tpfa_apply(p_ext, trans_row_ext, trans_col, axis)
-
-        diag_col = jnp.zeros_like(rhs)
-        diag_col = diag_col.at[:, :-1].add(trans_col)
-        diag_col = diag_col.at[:, 1:].add(trans_col)
-        below = lax.ppermute(
-            trans_rows_p[:1], axis, [(i, (i - 1) % num) for i in range(num)]
-        )
-        trans_row_ext = jnp.concatenate([trans_rows_p, below], axis=0)
-        idx = lax.axis_index(axis)
-        row_ids = lax.broadcasted_iota(jnp.int32, rhs.shape, 0)
-        t_up = jnp.where(
-            jnp.logical_and(idx == 0, row_ids == 0), 0.0, trans_row_ext[:-1]
-        )
-        t_down = jnp.where(
-            jnp.logical_and(idx == num - 1, row_ids == local_rows - 1),
-            0.0,
-            trans_row_ext[1:],
-        )
-        diag = jnp.maximum(diag_col + t_up + t_down, 1e-30)
-
-        b = project(rhs)
-        x = jnp.zeros_like(b)
-        r = b - A(x)
-        z = project(r / diag)
-        p_vec = z
-        rz = lax.psum(jnp.vdot(r, z), axis_name=axis)
-        b_norm = jnp.sqrt(
-            jnp.maximum(lax.psum(jnp.sum(b * b), axis_name=axis), 1e-30)
-        )
-
-        def cond(state):
-            _, r, _, rz, k = state
-            r_norm = jnp.sqrt(lax.psum(jnp.sum(r * r), axis_name=axis))
-            healthy = jnp.logical_and(jnp.isfinite(rz), rz > 1e-28)
-            return jnp.logical_and(
-                jnp.logical_and(k < maxiter, r_norm > tol * b_norm), healthy
-            )
-
-        def body(state):
-            x, r, p_vec, rz, k = state
-            Ap = A(p_vec)
-            pAp = lax.psum(jnp.vdot(p_vec, Ap), axis_name=axis)
-            alpha = rz / jnp.maximum(pAp, 1e-30)
-            x_new = project(x + alpha * p_vec)
-            r_new = r - alpha * Ap
-            z = project(r_new / diag)
-            rz_new = lax.psum(jnp.vdot(r_new, z), axis_name=axis)
-            beta = rz_new / jnp.maximum(rz, 1e-30)
-            return x_new, r_new, z + beta * p_vec, rz_new, k + 1
-
-        x, _, _, _, _ = lax.while_loop(cond, body, (x, r, p_vec, rz, 0))
-        return project(x)
+        A, diag = local_tpfa_operator(trans_rows_p, trans_col, axis, num)
+        return projected_pcg_local(A, diag, rhs, axis, tol, maxiter)
 
     sharded = jax.jit(
         jax.shard_map(

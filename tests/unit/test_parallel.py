@@ -284,3 +284,55 @@ def test_sharded_tvd_2d_matches_unsharded(mesh_shape):
         _local_smooth_sweeps(img, img, 0.15, 1.0, 6, axis_name=None)
     )
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("num_shards", [4, 8])
+def test_sharded_beckmann_newton_matches_single_device(num_shards):
+    """The fully domain-decomposed W1 Newton solve (transport density +
+    mobility averaging + PCG + flux update all inside one shard_map)
+    reproduces the single-device BeckmannNewtonSolver distance."""
+    _require_mesh()
+    import darsia_tpu as da
+    from darsia_tpu.measure.beckmann import BeckmannNewtonSolver
+    from darsia_tpu.parallel.beckmann import sharded_beckmann_newton
+
+    n = 32
+    src = np.zeros((n, n))
+    src[6:14, 6:14] = 1
+    dst = np.zeros((n, n))
+    dst[18:28, 20:30] = 1
+    src = src / src.sum() * n * n
+    dst = dst / dst.sum() * n * n
+    mass_diff = (src - dst).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:num_shards]), ("space",))
+    solve = sharded_beckmann_newton(
+        mesh,
+        (n, n),
+        voxel_size=1.0 / n,
+        num_iter=300,
+        tol_increment=1e-5,
+        tol_distance=1e-5,
+    )
+    distance, pressure, iterations = solve(mass_diff)
+    assert int(iterations) > 1
+    assert np.asarray(pressure).shape == (n, n)
+
+    single = BeckmannNewtonSolver(
+        da.Grid((n, n), 1.0 / n),
+        options={
+            "num_iter": 300,
+            "tol_increment": 1e-5,
+            "tol_distance": 1e-5,
+            "mobility_mode": da.MobilityMode("cell_based"),
+            "l1_mode": da.L1Mode("constant_cell_projection"),
+            "L": 1e9,
+            "aa_depth": 0,
+        },
+    )
+    ref_distance, _, _, _ = single.solve_beckmann_problem(
+        jnp.asarray(mass_diff)
+    )
+    assert np.isclose(float(distance), float(ref_distance), rtol=1e-4)
+    # Mean-zero pressure gauge.
+    assert abs(float(np.asarray(pressure).mean())) < 1e-5
