@@ -38,6 +38,43 @@ from .tpfa import local_tpfa_operator, projected_pcg_local
 __all__ = ["sharded_beckmann_newton"]
 
 
+def _anderson_mix_sharded(state, gk, fk, axis: str, reg: float = 1e-5):
+    """One Anderson(depth) type-II mixing step with row-sharded history.
+
+    The history buffers hold each shard's LOCAL flat flux block; the
+    depth x depth normal equations are assembled with ``psum`` so every
+    shard solves the identical (tiny) ridge system.  Mirrors the
+    single-device :func:`darsia_tpu.utils.andersonacceleration.anderson_mix`
+    (QR there, ridge normal equations here — equivalent at this
+    regularization level).
+    """
+    depth = state["F"].shape[0]
+    it = state["iteration"]
+    first = it == 0
+    col = (it - 1) % depth
+    F = state["F"].at[col].set(fk - state["fkm1"])
+    G = state["G"].at[col].set(gk - state["gkm1"])
+
+    gram = lax.psum(F @ F.T, axis_name=axis)
+    rhs = lax.psum(F @ fk, axis_name=axis)
+    lam = reg * jnp.sqrt(jnp.maximum(jnp.max(jnp.diag(gram)), 1e-30))
+    gamma = jnp.linalg.solve(
+        gram + (lam**2 + 1e-30) * jnp.eye(depth, dtype=F.dtype), rhs
+    )
+    mixed = gk - G.T @ gamma
+
+    x_next = jnp.where(first, gk, mixed)
+    zero = jnp.zeros((), dtype=F.dtype)
+    state_next = {
+        "F": jnp.where(first, zero, F),
+        "G": jnp.where(first, zero, G),
+        "fkm1": fk,
+        "gkm1": gk,
+        "iteration": state["iteration"] + 1,
+    }
+    return state_next, x_next
+
+
 def sharded_beckmann_newton(
     mesh: Mesh,
     shape: tuple,
@@ -49,6 +86,7 @@ def sharded_beckmann_newton(
     cg_tol: float = 1e-6,
     cg_maxiter: int = 500,
     regularization: Optional[float] = None,
+    aa_depth: int = 0,
 ):
     """Build a sharded W1 solve ``solve(mass_diff) -> (distance, p, k)``.
 
@@ -56,7 +94,11 @@ def sharded_beckmann_newton(
     destination, already normalized to equal total mass); the returned
     ``distance`` is the converged W1 value (replicated scalar), ``p`` the
     Kantorovich-type pressure (sharded over rows), ``k`` the iteration
-    count.  ``H`` must divide the mesh axis size.
+    count.  ``H`` must divide the mesh axis size.  ``aa_depth > 0``
+    enables in-loop Anderson mixing of the flux iterate (sharded history
+    buffers, psum-assembled normal equations) — typically several times
+    fewer Newton iterations, matching the single-device solver's
+    ``aa_depth`` option.
     """
     H, W = shape
     num = mesh.shape[axis]
@@ -139,8 +181,17 @@ def sharded_beckmann_newton(
             u_col = grad_col / (fw_col * cell_vol)
             return u_row_p, u_col
 
+        num_row = local_rows * W
+        def flatten(u_row_p, u_col):
+            return jnp.concatenate([u_row_p.reshape(-1), u_col.reshape(-1)])
+
+        def unflatten(flat):
+            u_row_p = flat[:num_row].reshape(local_rows, W)
+            u_col = flat[num_row:].reshape(local_rows, W - 1)
+            return jnp.where(pad_face, 0.0, u_row_p), u_col
+
         def newton_step(state):
-            u_row_p, u_col, _, dist_prev, k, _ = state
+            u_row_p, u_col, _, dist_prev, k, _, aa_state = state
             rho = transport_density(u_row_p, u_col)
             fw_row_p, fw_col = face_weights(rho)
             trans_rows_p = jnp.where(
@@ -154,6 +205,14 @@ def sharded_beckmann_newton(
                 A, diag, mass_rhs, axis, cg_tol, cg_maxiter
             )
             u_row_new, u_col_new = flux_from_pressure(fw_row_p, fw_col, p)
+
+            if aa_depth > 0:
+                xk = flatten(u_row_p, u_col)
+                gk = flatten(u_row_new, u_col_new)
+                aa_state, mixed = _anderson_mix_sharded(
+                    aa_state, gk, gk - xk, axis
+                )
+                u_row_new, u_col_new = unflatten(mixed)
 
             rho_new = transport_density(u_row_new, u_col_new)
             distance = cell_vol * lax.psum(jnp.sum(rho_new), axis_name=axis)
@@ -173,14 +232,23 @@ def sharded_beckmann_newton(
             converged = jnp.logical_and(
                 rel_inc < tol_increment, rel_dist < tol_distance
             )
-            return u_row_new, u_col_new, p, distance, k + 1, converged
+            return u_row_new, u_col_new, p, distance, k + 1, converged, aa_state
 
         def cond(state):
-            _, _, _, _, k, converged = state
+            k, converged = state[4], state[5]
             return jnp.logical_and(k < num_iter, jnp.logical_not(converged))
 
         # Derive the carries from the (device-varying) input so the
         # while_loop's varying-manual-axes types match across iterations.
+        flat_size = num_row + local_rows * (W - 1)
+        zero_flat = jnp.zeros_like(mass_diff, shape=(flat_size,))
+        aa_init = {
+            "F": jnp.zeros_like(mass_diff, shape=(max(aa_depth, 1), flat_size)),
+            "G": jnp.zeros_like(mass_diff, shape=(max(aa_depth, 1), flat_size)),
+            "fkm1": zero_flat,
+            "gkm1": zero_flat,
+            "iteration": jnp.array(0, jnp.int32),
+        }
         init = (
             jnp.zeros_like(mass_diff),
             jnp.zeros_like(mass_diff[:, :-1]),
@@ -188,8 +256,9 @@ def sharded_beckmann_newton(
             jnp.array(jnp.inf, mass_diff.dtype),
             jnp.array(0, jnp.int32),
             jnp.array(False),
+            aa_init,
         )
-        _, _, p, distance, k, _ = lax.while_loop(cond, newton_step, init)
+        _, _, p, distance, k, _, _ = lax.while_loop(cond, newton_step, init)
         return distance, p, k
 
     sharded = jax.jit(

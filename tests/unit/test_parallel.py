@@ -336,3 +336,17 @@ def test_sharded_beckmann_newton_matches_single_device(num_shards):
     assert np.isclose(float(distance), float(ref_distance), rtol=1e-4)
     # Mean-zero pressure gauge.
     assert abs(float(np.asarray(pressure).mean())) < 1e-5
+
+    # In-loop sharded Anderson mixing: same distance, far fewer iterations.
+    aa_solve = sharded_beckmann_newton(
+        mesh,
+        (n, n),
+        voxel_size=1.0 / n,
+        num_iter=300,
+        tol_increment=1e-5,
+        tol_distance=1e-5,
+        aa_depth=5,
+    )
+    aa_distance, _, aa_iterations = aa_solve(mass_diff)
+    assert np.isclose(float(aa_distance), float(ref_distance), rtol=1e-3)
+    assert int(aa_iterations) < int(iterations)
