@@ -37,6 +37,37 @@ def wasserstein_distance(
 
     """
     method_name = method.lower()
+    if method_name == "sharded_newton":
+        # Domain-decomposed solve over a jax.sharding.Mesh: pass the mesh
+        # via options={"mesh": Mesh(...)}; remaining options forward to
+        # darsia_tpu.parallel.beckmann.sharded_beckmann_newton.
+        import numpy as np
+
+        from ..parallel.beckmann import sharded_beckmann_newton
+
+        assert weight is None, (
+            "sharded_newton currently supports the unweighted metric."
+        )
+        options = dict(kwargs.get("options", {}))
+        mesh = options.pop("mesh")
+        return_info = options.pop("return_info", False)
+        grid = generate_grid(mass_dst)
+        solve = sharded_beckmann_newton(
+            mesh,
+            tuple(int(s) for s in grid.shape),
+            voxel_size=list(grid.voxel_size),
+            **options,
+        )
+        diff = np.asarray(mass_src.img, np.float32) - np.asarray(
+            mass_dst.img, np.float32
+        )
+        distance, pressure, iterations = solve(diff)
+        if return_info:
+            return float(distance), {
+                "pressure": pressure,
+                "number_iterations": int(iterations),
+            }
+        return float(distance)
     if method_name in ("newton", "bregman", "gprox"):
         grid = generate_grid(mass_dst)
         options = kwargs.get("options", {})

@@ -350,3 +350,49 @@ def test_sharded_beckmann_newton_matches_single_device(num_shards):
     aa_distance, _, aa_iterations = aa_solve(mass_diff)
     assert np.isclose(float(aa_distance), float(ref_distance), rtol=1e-3)
     assert int(aa_iterations) < int(iterations)
+
+
+def test_wasserstein_facade_sharded_newton():
+    """The public wasserstein_distance facade dispatches to the
+    domain-decomposed solver via method='sharded_newton'."""
+    _require_mesh()
+    import darsia_tpu as da
+
+    n = 16
+    src = np.zeros((n, n))
+    src[3:7, 3:7] = 1
+    dst = np.zeros((n, n))
+    dst[9:14, 10:15] = 1
+    meta = {"width": 1.0, "height": 1.0, "scalar": True}
+    src_img = da.Image(src / src.sum() * n * n, **meta)
+    dst_img = da.Image(dst / dst.sum() * n * n, **meta)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("space",))
+    distance, info = da.wasserstein_distance(
+        src_img,
+        dst_img,
+        method="sharded_newton",
+        options={
+            "mesh": mesh,
+            "num_iter": 200,
+            "tol_increment": 1e-5,
+            "tol_distance": 1e-5,
+            "aa_depth": 5,
+            "return_info": True,
+        },
+    )
+    reference = da.wasserstein_distance(
+        src_img,
+        dst_img,
+        method="newton",
+        options={
+            "num_iter": 200,
+            "tol_increment": 1e-5,
+            "tol_distance": 1e-5,
+            "mobility_mode": da.MobilityMode("cell_based"),
+            "l1_mode": da.L1Mode("constant_cell_projection"),
+            "L": 1e9,
+        },
+    )
+    assert np.isclose(distance, float(reference), rtol=1e-3)
+    assert info["number_iterations"] > 1
