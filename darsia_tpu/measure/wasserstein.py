@@ -22,7 +22,9 @@ __all__ = ["wasserstein_distance", "wasserstein_distance_to_vtk"]
 def wasserstein_distance(
     mass_src,
     mass_dst,
-    method: Literal["newton", "bregman", "gprox", "cv2.emd"] = "newton",
+    method: Literal[
+        "newton", "bregman", "gprox", "sharded_newton", "cv2.emd"
+    ] = "newton",
     weight=None,
     **kwargs,
 ):
@@ -30,7 +32,8 @@ def wasserstein_distance(
 
     Args:
         mass_src / mass_dst: source/destination distributions (scalar Images).
-        method: "newton" | "bregman" | "gprox" (TPU finite-volume solvers) or
+        method: "newton" | "bregman" | "gprox" (TPU finite-volume solvers),
+            "sharded_newton" (domain-decomposed over options["mesh"]), or
             "cv2.emd" (host validation path).
         weight: optional cell weight image (anisotropic metric).
         kwargs: ``options`` dict for the FV solvers.
