@@ -336,3 +336,33 @@ class TestPathUnit:
 
         unit = PathUnit(time=1.5, id=2, position=(3, 4))
         assert unit.time == 1.5 and unit.id == 2 and unit.position == (3, 4)
+
+
+class TestSetupIllustrations:
+    def test_scalar_and_discrete_maps(self, tmp_path):
+        from darsia_tpu.presets.workflows.setup.illustrations import (
+            save_discrete_map_illustration,
+            save_scalar_map_illustration,
+        )
+
+        depth = np.linspace(0, 0.02, 48, dtype=np.float32).reshape(6, 8)
+        out = save_scalar_map_illustration(
+            depth, tmp_path / "depth.png", title="depth", colorbar_label="m"
+        )
+        assert out.exists() and out.stat().st_size > 0
+
+        labels = np.array([[0, 1], [1, 2]], dtype=np.int32)
+        out2 = save_discrete_map_illustration(
+            labels, tmp_path / "labels.jpg", title="labels"
+        )
+        assert out2.exists() and out2.stat().st_size > 0
+
+    def test_rejects_non_2d(self, tmp_path):
+        from darsia_tpu.presets.workflows.setup.illustrations import (
+            save_scalar_map_illustration,
+        )
+
+        with pytest.raises(ValueError):
+            save_scalar_map_illustration(
+                np.zeros((2, 2, 3)), tmp_path / "bad.png"
+            )
