@@ -338,6 +338,70 @@ print(json.dumps({"w1_batch8_256_pairs_per_s": round(B/el, 2),
     return {}
 
 
+def measure_prefetch() -> dict:
+    """Speedup of the workflow data loader's host-decode prefetch.
+
+    The per-image analysis loops (``iter_prefetched_images``) overlap the
+    host JPEG decode with device compute; this row measures sequential vs
+    prefetched wall time over 6 real 4K frames with a bandwidth-bound
+    device stage standing in for the concentration tail.
+    """
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    import darsia_tpu as da
+    from darsia_tpu.utils.prefetch import prefetch_map
+
+    src = IMAGE_PATH
+    if not Path(src).exists():
+        return {}
+    work = Path(tempfile.mkdtemp(prefix="bench_prefetch_"))
+    paths = []
+    for i in range(6):
+        dst = work / f"img_{i:03d}.jpg"
+        shutil.copy(src, dst)
+        paths.append(dst)
+
+    @jax.jit
+    def device_work(x):
+        y = x
+        for _ in range(8):
+            y = jnp.tanh(y) * 1.01
+        return y.sum()
+
+    def read(path):
+        return np.asarray(da.imread(path, width=2.8, height=1.5).img)
+
+    arr = read(paths[0])
+    device_work(jnp.asarray(arr, jnp.float32)).block_until_ready()
+
+    def run_sequential():
+        tic = time.perf_counter()
+        for p in paths:
+            device_work(jnp.asarray(read(p), jnp.float32)).block_until_ready()
+        return time.perf_counter() - tic
+
+    def run_prefetched():
+        tic = time.perf_counter()
+        for r in prefetch_map(read, paths, depth=2, workers=2):
+            device_work(
+                jnp.asarray(r.value, jnp.float32)
+            ).block_until_ready()
+        return time.perf_counter() - tic
+
+    seq = min(run_sequential(), run_sequential())
+    pre = min(run_prefetched(), run_prefetched())
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "loader_sequential_s": round(seq, 2),
+        "loader_prefetched_s": round(pre, 2),
+        "loader_prefetch_speedup": round(seq / pre, 2),
+    }
+
+
 def measure_tvd() -> dict:
     """Split-Bregman TVD throughput at 512^2 (anisotropic, 30 iters).
 
@@ -665,6 +729,7 @@ def main() -> None:
     extra.update(measure_wasserstein())
     extra.update(measure_batched_wasserstein())
     extra.update(measure_tvd())
+    extra.update(measure_prefetch())
     payload = {
         "metric": "Mpix/s corrected+registered+concentration (4K image)",
         "value": round(mpix_s, 2),
