@@ -731,7 +731,10 @@ def main() -> None:
     extra.update(measure_wasserstein())
     extra.update(measure_batched_wasserstein())
     extra.update(measure_tvd())
-    extra.update(measure_prefetch())
+    try:
+        extra.update(measure_prefetch())
+    except Exception as exc:  # never let the loader row stall the bench
+        print(f"prefetch row skipped: {exc}", file=sys.stderr)
     payload = {
         "metric": "Mpix/s corrected+registered+concentration (4K image)",
         "value": round(mpix_s, 2),
