@@ -61,8 +61,11 @@ def wasserstein_distance(
             voxel_size=list(grid.voxel_size),
             **options,
         )
-        diff = np.asarray(mass_src.img, np.float32) - np.asarray(
-            mass_dst.img, np.float32
+        # Match the single-device sign convention (BeckmannProblem.__call__
+        # solves on dst - src) so the returned pressure agrees across
+        # methods; the distance is sign-invariant.
+        diff = np.asarray(mass_dst.img, np.float32) - np.asarray(
+            mass_src.img, np.float32
         )
         distance, pressure, iterations = solve(diff)
         if return_info:

@@ -240,6 +240,11 @@ class SimpleFluidFlower:
         resulting crop config builds the correction."""
         from ...assistants.crop_assistant import CropAssistant
 
+        if roi_mode == "automatic" and roi_color is None:
+            raise ValueError(
+                "roi_mode='automatic' requires roi_color (the RGB color "
+                "of the corner marks in the ROI image)."
+            )
         roi_image = resize(imread(roi), ref_image=self.raw_baseline)
         crop_assistant = CropAssistant(
             roi_image, width=self.width, height=self.height

@@ -70,30 +70,43 @@ class ImageExportFormats:
         scalar_write_kwargs=None,
     ) -> list:
         """Reference-named export entry point (reference
-        image_export_formats.py:188-236): restrict to ``supported_types``
-        and nest under ``subfolder``; quality/compression knobs ride the
-        per-spec settings here."""
+        image_export_formats.py:188-236): restrict to ``supported_types``,
+        nest under ``subfolder``, and fill the default jpg quality / png
+        compression into specs that do not pin their own."""
+        import dataclasses
+
         formats = self.formats
         if supported_types is not None:
             formats = [s for s in formats if s.type in supported_types]
-        target = Path(folder) if subfolder is None else Path(folder)
-        restricted = ImageExportFormats(formats)
-        if subfolder is not None:
-            # Reference nests <folder>/<format>/<subfolder>; export()
-            # writes <folder>/<format>, so shift per-spec below.
-            written = []
-            for spec in formats:
-                single = ImageExportFormats([spec])
-                out = single.export(image, target, stem,
-                                    **(scalar_write_kwargs or {}))
-                for path in out:
-                    dest = path.parent / Path(subfolder) / path.name
-                    dest.parent.mkdir(parents=True, exist_ok=True)
-                    path.rename(dest)
-                    written.append(dest)
-            return written
-        return restricted.export(image, target, stem,
-                                 **(scalar_write_kwargs or {}))
+
+        def _with_defaults(spec):
+            if spec.type == "jpg" and spec.quality is None:
+                return dataclasses.replace(spec, quality=int(jpg_quality))
+            if spec.type == "png" and spec.compression is None:
+                return dataclasses.replace(
+                    spec, compression=int(png_compression)
+                )
+            return spec
+
+        formats = [_with_defaults(s) for s in formats]
+        target = Path(folder)
+        kwargs = scalar_write_kwargs or {}
+        if subfolder is None:
+            return ImageExportFormats(formats).export(
+                image, target, stem, **kwargs
+            )
+        # Reference nests <folder>/<format>/<subfolder>; export() writes
+        # <folder>/<format>, so relocate each artifact per spec.
+        written = []
+        for spec in formats:
+            for path in ImageExportFormats([spec]).export(
+                image, target, stem, **kwargs
+            ):
+                dest = path.parent / Path(subfolder) / path.name
+                dest.parent.mkdir(parents=True, exist_ok=True)
+                path.rename(dest)
+                written.append(dest)
+        return written
 
     def export(self, image, folder: Path, stem: str, **write_kwargs) -> list:
         """Write the image in every configured format; returns paths."""
@@ -139,6 +152,26 @@ class ImageExportFormats:
 
     @staticmethod
     def _write_raster(arr: np.ndarray, path: Path, spec: ImageExportFormat):
+        # RGB data with an explicit quality/compression goes through cv2
+        # (matplotlib's imsave has no such knobs); colormapped scalar maps
+        # stay on matplotlib.
+        if arr.ndim == 3 and (
+            spec.quality is not None or spec.compression is not None
+        ):
+            import cv2
+
+            data = np.clip(np.asarray(arr, dtype=float), 0, 1)
+            bgr = cv2.cvtColor(
+                (data * 255).astype(np.uint8), cv2.COLOR_RGB2BGR
+            )
+            params = []
+            if spec.type == "jpg" and spec.quality is not None:
+                params = [cv2.IMWRITE_JPEG_QUALITY, int(spec.quality)]
+            elif spec.type == "png" and spec.compression is not None:
+                params = [cv2.IMWRITE_PNG_COMPRESSION, int(spec.compression)]
+            cv2.imwrite(str(path), bgr, params)
+            return
+
         import matplotlib
 
         matplotlib.use("Agg")

@@ -112,8 +112,10 @@ def _safe_nonnegative_int(value) -> Optional[int]:
 
 def normalize_progress_event(payload) -> Optional[dict]:
     """Validate an arbitrary queue payload into a progress event, or None
-    (reference ``progress.py:118-160``): unknown events, blank step names
-    and malformed counters/durations are rejected or dropped fieldwise."""
+    (reference ``progress.py:118-160``): unknown events and blank step
+    names reject the whole payload; non-integer counters and malformed
+    durations are dropped fieldwise, negative counters clamp to zero
+    (the reference's ``_safe_nonnegative_int`` contract)."""
     if not isinstance(payload, dict):
         return None
     event = payload.get("event")

@@ -157,10 +157,13 @@ class TimeData:
 
     def get_times_with_uncertainty(self) -> list:
         """All requested (time, tol) pairs across the selection modes
-        (reference time_data.py:253-300), sorted by time."""
+        (reference time_data.py:253-300), sorted by time.  Intervals
+        without an explicit tol inherit ``default_tol`` — consistent with
+        how :meth:`select` matches their sample times."""
         pairs = [(t, self.default_tol) for t in self.image_times]
         for interval in self.image_intervals.values():
-            pairs.extend(interval.generate_times_with_uncertainty())
+            tol = interval.tol if interval.tol is not None else self.default_tol
+            pairs.extend((t, tol) for t in interval.generate_times())
         return sorted(pairs, key=lambda p: p[0])
 
     def error(self):

@@ -61,6 +61,21 @@ def load_result_frames(files) -> list:
     return frames
 
 
+def _result_npz_files(config) -> list:
+    """Resolve the [helper.results] source folder and list its npz files
+    (mode -> mass-subfolder mapping + plain-mode fallback, shared by
+    :func:`helper_results` and :func:`helper_result_reader`)."""
+    results_config = config.helper.results
+    mode = results_config.mode
+    folder_mode = (
+        "mass" if mode in SCALAR_PRODUCT_MODES or "mass" in mode else mode
+    )
+    source = Path(config.analysis.mass.folder) / folder_mode / "npz"
+    if not source.exists():
+        source = Path(config.analysis.mass.folder) / mode / "npz"
+    return sorted(source.glob("*.npz")) if source.exists() else []
+
+
 def launch_result_reader(
     frames: list, *, mode: str, cmap=None
 ) -> None:  # pragma: no cover - interactive
@@ -123,18 +138,12 @@ def helper_result_reader(cls, path, show: bool = False) -> list:
     config = ctx.config
     assert config.helper is not None and config.helper.results is not None
     results_config = config.helper.results
-    mode = results_config.mode
-    folder_mode = (
-        "mass" if mode in SCALAR_PRODUCT_MODES or "mass" in mode else mode
-    )
-    source = Path(config.analysis.mass.folder) / folder_mode / "npz"
-    if not source.exists():
-        source = Path(config.analysis.mass.folder) / mode / "npz"
-    files = sorted(source.glob("*.npz")) if source.exists() else []
-    frames = load_result_frames(files)
+    frames = load_result_frames(_result_npz_files(config))
     if show:  # pragma: no cover - interactive
         launch_result_reader(
-            frames, mode=mode, cmap=getattr(results_config, "cmap", None)
+            frames,
+            mode=results_config.mode,
+            cmap=getattr(results_config, "cmap", None),
         )
     return frames
 
@@ -150,11 +159,7 @@ def helper_results(path, cls=None, show: bool = False) -> list:
     assert config.helper is not None and config.helper.results is not None
     results_config = config.helper.results
     mode = results_config.mode
-    folder_mode = "mass" if mode in SCALAR_PRODUCT_MODES or "mass" in mode else mode
-    source = Path(config.analysis.mass.folder) / folder_mode / "npz"
-    if not source.exists():
-        source = Path(config.analysis.mass.folder) / mode / "npz"
-    files = sorted(source.glob("*.npz")) if source.exists() else []
+    files = _result_npz_files(config)
     out_dir = Path(config.data.results) / "helper" / mode
     out_dir.mkdir(parents=True, exist_ok=True)
     written = []

@@ -62,7 +62,7 @@ class CG:
         self.scipy_options = dict(scipy_options)
 
     def solve(self, b, **kwargs) -> np.ndarray:
-        options = kwargs if kwargs else dict(self.scipy_options)
+        options = {**self.scipy_options, **kwargs}
         tol = options.pop("rtol", options.pop("tol", 1e-8))
         maxiter = options.pop("maxiter", None)
         x, _ = cg(self.A, b, x0=options.pop("x0", None), tol=tol, maxiter=maxiter)
