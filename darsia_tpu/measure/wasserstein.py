@@ -48,9 +48,6 @@ def wasserstein_distance(
 
         from ..parallel.beckmann import sharded_beckmann_newton
 
-        assert weight is None, (
-            "sharded_newton currently supports the unweighted metric."
-        )
         options = dict(kwargs.get("options", {}))
         mesh = options.pop("mesh")
         return_info = options.pop("return_info", False)
@@ -59,6 +56,7 @@ def wasserstein_distance(
             mesh,
             tuple(int(s) for s in grid.shape),
             voxel_size=list(grid.voxel_size),
+            weight=weight,
             **options,
         )
         # Match the single-device sign convention (BeckmannProblem.__call__

@@ -87,6 +87,7 @@ def sharded_beckmann_newton(
     cg_maxiter: int = 500,
     regularization: Optional[float] = None,
     aa_depth: int = 0,
+    weight=None,
 ):
     """Build a sharded W1 solve ``solve(mass_diff) -> (distance, p, k)``.
 
@@ -94,7 +95,9 @@ def sharded_beckmann_newton(
     destination, already normalized to equal total mass); the returned
     ``distance`` is the converged W1 value (replicated scalar), ``p`` the
     Kantorovich-type pressure (sharded over rows), ``k`` the iteration
-    count.  ``H`` must divide the mesh axis size.  ``aa_depth > 0``
+    count.  ``H`` must divide the mesh axis size.  ``weight`` is an
+    optional (H, W) cell weight field (heterogeneous metric, sharded with
+    the rows; matches the single-device ``cell_weights``).  ``aa_depth > 0``
     enables in-loop Anderson mixing of the flux iterate (sharded history
     buffers, psum-assembled normal equations) — typically several times
     fewer Newton iterations, matching the single-device solver's
@@ -119,7 +122,7 @@ def sharded_beckmann_newton(
     fwd = [(i, (i + 1) % num) for i in range(num)]  # send to next shard
     bwd = [(i, (i - 1) % num) for i in range(num)]  # send to previous shard
 
-    def per_shard(mass_diff):
+    def per_shard(mass_diff, cell_weight):
         idx = lax.axis_index(axis)
         row_ids = lax.broadcasted_iota(jnp.float32, (local_rows, W), 0)
         # Mask for the padded (nonexistent) global top face on shard 0.
@@ -138,20 +141,21 @@ def sharded_beckmann_newton(
             return jnp.where(last_global, 0.0, below)
 
         def transport_density(u_row_p, u_col):
-            """|RT0 flux at the cell center| (constant cell projection)."""
+            """|weight * RT0 flux| at the cell center (constant cell
+            projection; weighted metric like the single-device solver)."""
             u_above = jnp.where(pad_face, 0.0, u_row_p)
             comp_row = 0.5 * (u_above + row_face_below(u_row_p))
             left = jnp.pad(u_col, ((0, 0), (1, 0)))
             right = jnp.pad(u_col, ((0, 0), (0, 1)))
             comp_col = 0.5 * (left + right)
-            return jnp.sqrt(comp_row**2 + comp_col**2)
+            return cell_weight * jnp.sqrt(comp_row**2 + comp_col**2)
 
         def face_weights(rho):
             """1 / harmonic-face-average of rho (cell-based mobility)."""
             floor = jnp.maximum(
                 reg, 1e-6 * lax.pmax(jnp.max(rho), axis_name=axis)
             )
-            cell_inv = jnp.maximum(rho, floor)
+            cell_inv = jnp.maximum(rho, floor) / cell_weight**2
             # Column faces: shard-local harmonic mean.
             a, b = cell_inv[:, :-1], cell_inv[:, 1:]
             inv_col = 2.0 * a * b / jnp.maximum(a + b, 1e-30)
@@ -265,12 +269,22 @@ def sharded_beckmann_newton(
         jax.shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(P(axis, None),),
+            in_specs=(P(axis, None), P(axis, None)),
             out_specs=(P(), P(axis, None), P()),
         )
     )
 
+    if weight is None:
+        weight_field = np.ones((H, W), np.float32)
+    else:
+        weight_field = np.asarray(
+            weight.img if hasattr(weight, "img") else weight, np.float32
+        )
+        assert weight_field.shape == (H, W)
+
     def solve(mass_diff):
-        return sharded(jnp.asarray(mass_diff, jnp.float32))
+        return sharded(
+            jnp.asarray(mass_diff, jnp.float32), jnp.asarray(weight_field)
+        )
 
     return solve

@@ -396,3 +396,57 @@ def test_wasserstein_facade_sharded_newton():
     )
     assert np.isclose(distance, float(reference), rtol=1e-3)
     assert info["number_iterations"] > 1
+
+
+def test_sharded_beckmann_newton_weighted_metric():
+    """Heterogeneous cell weights: sharded == single-device distance."""
+    _require_mesh()
+    import darsia_tpu as da
+    from darsia_tpu.measure.beckmann import BeckmannNewtonSolver
+    from darsia_tpu.parallel.beckmann import sharded_beckmann_newton
+
+    n = 32
+    src = np.zeros((n, n))
+    src[6:14, 6:14] = 1
+    dst = np.zeros((n, n))
+    dst[18:28, 20:30] = 1
+    src = src / src.sum() * n * n
+    dst = dst / dst.sum() * n * n
+    mass_diff = (src - dst).astype(np.float32)
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, n), np.linspace(0, 1, n), indexing="ij"
+    )
+    weight = (
+        1.5 + 0.4 * np.sin(2 * np.pi * xx) * np.cos(np.pi * yy)
+    ).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("space",))
+    distance, _, iterations = sharded_beckmann_newton(
+        mesh,
+        (n, n),
+        voxel_size=1.0 / n,
+        num_iter=400,
+        tol_increment=1e-5,
+        tol_distance=1e-5,
+        aa_depth=5,
+        weight=weight,
+    )(mass_diff)
+
+    single = BeckmannNewtonSolver(
+        da.Grid((n, n), 1.0 / n),
+        da.ScalarImage(weight, width=1.0, height=1.0),
+        options={
+            "num_iter": 400,
+            "tol_increment": 1e-5,
+            "tol_distance": 1e-5,
+            "mobility_mode": da.MobilityMode("cell_based"),
+            "l1_mode": da.L1Mode("constant_cell_projection"),
+            "L": 1e9,
+            "aa_depth": 5,
+        },
+    )
+    ref_distance, _, _, _ = single.solve_beckmann_problem(
+        jnp.asarray(mass_diff)
+    )
+    assert np.isclose(float(distance), float(ref_distance), rtol=1e-3)
+    assert int(iterations) > 1
