@@ -1,26 +1,27 @@
 """Spatially-sharded Beckmann Newton solve (domain-decomposed W1).
 
 The batch-sharded path (:mod:`darsia_tpu.parallel.wasserstein`) gives every
-chip its own full problem; this module shards ONE problem's rows over the
-``space`` mesh axis so images larger than a single chip's HBM can be
-solved.  The entire Newton iteration — cell transport density, harmonic
-mobility averaging, the nullspace-projected Jacobi-PCG pressure solve,
-the flux update, and all convergence metrics — runs inside one
-``shard_map`` program: cell/face stencils touch one halo row over ICI
+chip its own full problem; this module shards ONE problem's leading axis
+over the ``space`` mesh axis so mass images larger than a single chip's
+HBM can be solved — 2-D and 3-D (the reference's PET/DICOM OT comparisons
+are 3-D).  The entire Newton iteration — cell transport density, harmonic
+mobility averaging, the nullspace-projected Jacobi-PCG pressure solve, the
+flux update, optional Anderson mixing, and all convergence metrics — runs
+inside one ``shard_map`` program: stencils touch one halo slab over ICI
 (``ppermute``), scalars ride ``psum``/``pmax``.
 
 Math matches the single-device :class:`darsia_tpu.BeckmannNewtonSolver`
 with ``mobility_mode=cell_based`` and ``l1_mode=constant_cell_projection``
-(reference beckmann_newton_solver.py solved via per-axis face stencils):
-the sharded distance agrees with the unsharded solve to solver tolerance
-(asserted in tests and the driver dryrun).
+(asserted in tests and the driver dryrun).  The interior (non-sharded)
+axes reuse the single-device TPFA stencil
+(:func:`darsia_tpu.measure.beckmann_kernels.tpfa_apply` with the sharded
+axis zeroed); only the leading axis carries halo terms.
 
-Shard-local layout (rows sharded, ``R = H / mesh.shape[axis]`` rows each):
+Shard-local layout (leading axis sharded, ``R = shape[0] / num`` slabs):
 
-- ``u_row_p``: (R, W) — row-normal flux on the face ABOVE each local cell
-  row.  Shard 0's row 0 is the nonexistent global boundary face and is
-  pinned to zero.
-- ``u_col``: (R, W-1) — shard-local column faces.
+- ``u0_p``: (R, *rest) — axis-0 flux on the face ABOVE each local slab.
+  Shard 0's slab 0 is the nonexistent global boundary face, pinned to 0.
+- ``u_rest[k]``: local interior faces along axis ``k+1``.
 """
 
 from __future__ import annotations
@@ -33,13 +34,15 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .tpfa import local_tpfa_operator, projected_pcg_local
+from ..measure import beckmann_kernels as bk
+from .halo import halo_exchange
+from .tpfa import projected_pcg_local
 
 __all__ = ["sharded_beckmann_newton"]
 
 
 def _anderson_mix_sharded(state, gk, fk, axis: str, reg: float = 1e-5):
-    """One Anderson(depth) type-II mixing step with row-sharded history.
+    """One Anderson(depth) type-II mixing step with sharded history.
 
     The history buffers hold each shard's LOCAL flat flux block; the
     depth x depth normal equations are assembled with ``psum`` so every
@@ -75,6 +78,12 @@ def _anderson_mix_sharded(state, gk, fk, axis: str, reg: float = 1e-5):
     return state_next, x_next
 
 
+def _pad_axis(arr, axis: int, before: int, after: int):
+    pads = [(0, 0)] * arr.ndim
+    pads[axis] = (before, after)
+    return jnp.pad(arr, pads)
+
+
 def sharded_beckmann_newton(
     mesh: Mesh,
     shape: tuple,
@@ -91,30 +100,36 @@ def sharded_beckmann_newton(
 ):
     """Build a sharded W1 solve ``solve(mass_diff) -> (distance, p, k)``.
 
-    ``mass_diff`` is the (H, W) signed mass difference (source minus
-    destination, already normalized to equal total mass); the returned
-    ``distance`` is the converged W1 value (replicated scalar), ``p`` the
-    Kantorovich-type pressure (sharded over rows), ``k`` the iteration
-    count.  ``H`` must divide the mesh axis size.  ``weight`` is an
-    optional (H, W) cell weight field (heterogeneous metric, sharded with
-    the rows; matches the single-device ``cell_weights``).  ``aa_depth > 0``
-    enables in-loop Anderson mixing of the flux iterate (sharded history
-    buffers, psum-assembled normal equations) — typically several times
-    fewer Newton iterations, matching the single-device solver's
-    ``aa_depth`` option.
+    ``mass_diff`` is the signed mass difference on ``shape`` (2-D or 3-D;
+    destination minus source by the facade's convention, already
+    normalized to equal total mass); the returned ``distance`` is the
+    converged W1 value (replicated scalar), ``p`` the Kantorovich-type
+    pressure (sharded over the leading axis), ``k`` the iteration count.
+    ``shape[0]`` must divide the mesh axis size.  ``weight`` is an
+    optional cell weight field (heterogeneous metric, sharded with the
+    leading axis; matches the single-device ``cell_weights``).
+    ``aa_depth > 0`` enables in-loop Anderson mixing of the flux iterate
+    (sharded history buffers, psum-assembled normal equations) —
+    typically several times fewer Newton iterations, matching the
+    single-device solver's ``aa_depth`` option.
     """
-    H, W = shape
+    shape = tuple(int(s) for s in shape)
+    dim = len(shape)
+    assert dim in (2, 3), "sharded_beckmann_newton supports 2-D and 3-D."
     num = mesh.shape[axis]
-    assert H % num == 0, "Rows must divide the space mesh axis."
-    local_rows = H // num
-    hy, hx = (
-        (float(voxel_size), float(voxel_size))
+    assert shape[0] % num == 0, "Leading axis must divide the mesh axis."
+    local0 = shape[0] // num
+    rest = shape[1:]
+    local_shape = (local0,) + rest
+
+    voxel = (
+        np.full(dim, float(voxel_size))
         if np.isscalar(voxel_size)
-        else (float(voxel_size[0]), float(voxel_size[1]))
+        else np.asarray(voxel_size, dtype=float)
     )
-    cell_vol = hy * hx
-    face_vol_row = hx  # row-normal faces
-    face_vol_col = hy  # column-normal faces
+    assert voxel.shape == (dim,)
+    cell_vol = float(np.prod(voxel))
+    face_vol = [float(np.prod(np.delete(voxel, d))) for d in range(dim)]
     reg = float(regularization) if regularization is not None else float(
         np.finfo(np.float32).eps
     )
@@ -122,111 +137,169 @@ def sharded_beckmann_newton(
     fwd = [(i, (i + 1) % num) for i in range(num)]  # send to next shard
     bwd = [(i, (i - 1) % num) for i in range(num)]  # send to previous shard
 
+    rest_faces_shapes = [
+        (local0,)
+        + tuple(n - 1 if k == j else n for j, n in enumerate(rest))
+        for k in range(dim - 1)
+    ]
+
     def per_shard(mass_diff, cell_weight):
         idx = lax.axis_index(axis)
-        row_ids = lax.broadcasted_iota(jnp.float32, (local_rows, W), 0)
+        slab_ids = lax.broadcasted_iota(jnp.float32, local_shape, 0)
         # Mask for the padded (nonexistent) global top face on shard 0.
-        pad_face = jnp.logical_and(idx == 0, row_ids == 0)
+        pad_face = jnp.logical_and(idx == 0, slab_ids == 0)
+        last_global = jnp.logical_and(
+            idx == num - 1, slab_ids == local0 - 1
+        )
 
         mass_rhs = cell_vol * mass_diff
 
-        def row_face_below(u_row_p):
-            """Row flux on the face BELOW each local row (next row's
+        def face_below(u0_p):
+            """Axis-0 flux on the face BELOW each local slab (next slab's
             'above' face; zero on the global bottom boundary)."""
-            nxt = lax.ppermute(u_row_p[:1], axis, bwd)
-            below = jnp.concatenate([u_row_p[1:], nxt], axis=0)
-            last_global = jnp.logical_and(
-                idx == num - 1, row_ids == local_rows - 1
-            )
+            nxt = lax.ppermute(u0_p[:1], axis, bwd)
+            below = jnp.concatenate([u0_p[1:], nxt], axis=0)
             return jnp.where(last_global, 0.0, below)
 
-        def transport_density(u_row_p, u_col):
+        def transport_density(u0_p, u_rest):
             """|weight * RT0 flux| at the cell center (constant cell
             projection; weighted metric like the single-device solver)."""
-            u_above = jnp.where(pad_face, 0.0, u_row_p)
-            comp_row = 0.5 * (u_above + row_face_below(u_row_p))
-            left = jnp.pad(u_col, ((0, 0), (1, 0)))
-            right = jnp.pad(u_col, ((0, 0), (0, 1)))
-            comp_col = 0.5 * (left + right)
-            return cell_weight * jnp.sqrt(comp_row**2 + comp_col**2)
+            u_above = jnp.where(pad_face, 0.0, u0_p)
+            comp_sq = (0.5 * (u_above + face_below(u0_p))) ** 2
+            for k, u in enumerate(u_rest):
+                ax = k + 1
+                comp = 0.5 * (
+                    _pad_axis(u, ax, 1, 0) + _pad_axis(u, ax, 0, 1)
+                )
+                comp_sq = comp_sq + comp**2
+            return cell_weight * jnp.sqrt(comp_sq)
 
         def face_weights(rho):
-            """1 / harmonic-face-average of rho (cell-based mobility)."""
+            """1 / harmonic-face-average of rho/cw^2 (cell-based mobility)."""
             floor = jnp.maximum(
                 reg, 1e-6 * lax.pmax(jnp.max(rho), axis_name=axis)
             )
             cell_inv = jnp.maximum(rho, floor) / cell_weight**2
-            # Column faces: shard-local harmonic mean.
-            a, b = cell_inv[:, :-1], cell_inv[:, 1:]
-            inv_col = 2.0 * a * b / jnp.maximum(a + b, 1e-30)
-            fw_col = 1.0 / jnp.maximum(inv_col, 1e-30)
-            # Row faces (above each local row): previous shard's last cell
-            # row pairs with this shard's first.
+            fw_rest = []
+            for k in range(dim - 1):
+                ax = k + 1
+                n = cell_inv.shape[ax]
+                a = lax.slice_in_dim(cell_inv, 0, n - 1, axis=ax)
+                b = lax.slice_in_dim(cell_inv, 1, n, axis=ax)
+                inv = 2.0 * a * b / jnp.maximum(a + b, 1e-30)
+                fw_rest.append(1.0 / jnp.maximum(inv, 1e-30))
+            # Axis-0 faces (above each local slab): previous shard's last
+            # cell slab pairs with this shard's first.
             prev_last = lax.ppermute(cell_inv[-1:], axis, fwd)
             above_cells = jnp.concatenate([prev_last, cell_inv[:-1]], axis=0)
-            inv_row = (
+            inv0 = (
                 2.0
                 * above_cells
                 * cell_inv
                 / jnp.maximum(above_cells + cell_inv, 1e-30)
             )
-            fw_row_p = 1.0 / jnp.maximum(inv_row, 1e-30)
-            fw_row_p = jnp.where(pad_face, 1.0, fw_row_p)
-            return fw_row_p, fw_col
+            fw0_p = jnp.where(pad_face, 1.0, 1.0 / jnp.maximum(inv0, 1e-30))
+            return fw0_p, tuple(fw_rest)
 
-        def flux_from_pressure(fw_row_p, fw_col, p):
+        def tpfa_operator(fw0_p, fw_rest):
+            """(A, diag) for the shard-local weighted TPFA block."""
+            trans0_p = jnp.where(
+                pad_face, 0.0, face_vol[0] ** 2 / (fw0_p * cell_vol)
+            )
+            trans_rest = tuple(
+                face_vol[k + 1] ** 2 / (fw_rest[k] * cell_vol)
+                for k in range(dim - 1)
+            )
+            below = lax.ppermute(trans0_p[:1], axis, bwd)
+            trans0_ext = jnp.concatenate([trans0_p, below], axis=0)
+            t_up = jnp.where(pad_face, 0.0, trans0_ext[:-1])
+            t_down = jnp.where(last_global, 0.0, trans0_ext[1:])
+            # Interior axes ride the single-device stencil with the
+            # sharded axis zeroed out.
+            zeros0 = jnp.zeros((local0 - 1,) + rest, trans0_p.dtype)
+
+            def A(p):
+                local = bk.tpfa_apply(p, (zeros0, *trans_rest), dim)
+                p_ext = halo_exchange(p, 1, axis, axis=0)
+                return (
+                    local
+                    + t_up * (p - p_ext[:-2])
+                    + t_down * (p - p_ext[2:])
+                )
+
+            diag = t_up + t_down
+            for k in range(dim - 1):
+                ax = k + 1
+                diag = diag + _pad_axis(trans_rest[k], ax, 1, 0)
+                diag = diag + _pad_axis(trans_rest[k], ax, 0, 1)
+            return A, jnp.maximum(diag, 1e-30)
+
+        def flux_from_pressure(fw0_p, fw_rest, p):
             prev_last = lax.ppermute(p[-1:], axis, fwd)
             p_above = jnp.concatenate([prev_last, p[:-1]], axis=0)
-            grad_row = face_vol_row * (p_above - p)
-            u_row_p = jnp.where(
-                pad_face, 0.0, grad_row / (fw_row_p * cell_vol)
-            )
-            grad_col = face_vol_col * (p[:, :-1] - p[:, 1:])
-            u_col = grad_col / (fw_col * cell_vol)
-            return u_row_p, u_col
+            grad0 = face_vol[0] * (p_above - p)
+            u0_p = jnp.where(pad_face, 0.0, grad0 / (fw0_p * cell_vol))
+            u_rest = []
+            for k in range(dim - 1):
+                ax = k + 1
+                n = p.shape[ax]
+                before = lax.slice_in_dim(p, 0, n - 1, axis=ax)
+                after = lax.slice_in_dim(p, 1, n, axis=ax)
+                grad = face_vol[ax] * (before - after)
+                u_rest.append(grad / (fw_rest[k] * cell_vol))
+            return u0_p, tuple(u_rest)
 
-        num_row = local_rows * W
-        def flatten(u_row_p, u_col):
-            return jnp.concatenate([u_row_p.reshape(-1), u_col.reshape(-1)])
+        sizes = [int(np.prod(local_shape))] + [
+            int(np.prod(s)) for s in rest_faces_shapes
+        ]
+        offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+
+        def flatten(u0_p, u_rest):
+            return jnp.concatenate(
+                [u0_p.reshape(-1)] + [u.reshape(-1) for u in u_rest]
+            )
 
         def unflatten(flat):
-            u_row_p = flat[:num_row].reshape(local_rows, W)
-            u_col = flat[num_row:].reshape(local_rows, W - 1)
-            return jnp.where(pad_face, 0.0, u_row_p), u_col
+            u0_p = flat[offsets[0]:offsets[1]].reshape(local_shape)
+            u_rest = tuple(
+                flat[offsets[k + 1]:offsets[k + 2]].reshape(
+                    rest_faces_shapes[k]
+                )
+                for k in range(dim - 1)
+            )
+            return jnp.where(pad_face, 0.0, u0_p), u_rest
 
         def newton_step(state):
-            u_row_p, u_col, _, dist_prev, k, _, aa_state = state
-            rho = transport_density(u_row_p, u_col)
-            fw_row_p, fw_col = face_weights(rho)
-            trans_rows_p = jnp.where(
-                pad_face,
-                0.0,
-                face_vol_row**2 / (fw_row_p * cell_vol),
-            )
-            trans_col = face_vol_col**2 / (fw_col * cell_vol)
-            A, diag = local_tpfa_operator(trans_rows_p, trans_col, axis, num)
+            u0_p, u_rest, _, dist_prev, k, _, aa_state = state
+            rho = transport_density(u0_p, u_rest)
+            fw0_p, fw_rest = face_weights(rho)
+            A, diag = tpfa_operator(fw0_p, fw_rest)
             p = projected_pcg_local(
                 A, diag, mass_rhs, axis, cg_tol, cg_maxiter
             )
-            u_row_new, u_col_new = flux_from_pressure(fw_row_p, fw_col, p)
+            u0_new, u_rest_new = flux_from_pressure(fw0_p, fw_rest, p)
 
             if aa_depth > 0:
-                xk = flatten(u_row_p, u_col)
-                gk = flatten(u_row_new, u_col_new)
+                xk = flatten(u0_p, u_rest)
+                gk = flatten(u0_new, u_rest_new)
                 aa_state, mixed = _anderson_mix_sharded(
                     aa_state, gk, gk - xk, axis
                 )
-                u_row_new, u_col_new = unflatten(mixed)
+                u0_new, u_rest_new = unflatten(mixed)
 
-            rho_new = transport_density(u_row_new, u_col_new)
+            rho_new = transport_density(u0_new, u_rest_new)
             distance = cell_vol * lax.psum(jnp.sum(rho_new), axis_name=axis)
             inc_sq = lax.psum(
-                jnp.sum((u_row_new - u_row_p) ** 2)
-                + jnp.sum((u_col_new - u_col) ** 2),
+                jnp.sum((u0_new - u0_p) ** 2)
+                + sum(
+                    jnp.sum((a - b) ** 2)
+                    for a, b in zip(u_rest_new, u_rest)
+                ),
                 axis_name=axis,
             )
             norm_sq = lax.psum(
-                jnp.sum(u_row_new**2) + jnp.sum(u_col_new**2),
+                jnp.sum(u0_new**2)
+                + sum(jnp.sum(u**2) for u in u_rest_new),
                 axis_name=axis,
             )
             rel_inc = jnp.sqrt(inc_sq / jnp.maximum(norm_sq, 1e-30))
@@ -236,7 +309,7 @@ def sharded_beckmann_newton(
             converged = jnp.logical_and(
                 rel_inc < tol_increment, rel_dist < tol_distance
             )
-            return u_row_new, u_col_new, p, distance, k + 1, converged, aa_state
+            return u0_new, u_rest_new, p, distance, k + 1, converged, aa_state
 
         def cond(state):
             k, converged = state[4], state[5]
@@ -244,18 +317,23 @@ def sharded_beckmann_newton(
 
         # Derive the carries from the (device-varying) input so the
         # while_loop's varying-manual-axes types match across iterations.
-        flat_size = num_row + local_rows * (W - 1)
-        zero_flat = jnp.zeros_like(mass_diff, shape=(flat_size,))
+        def varying_zeros(target_shape):
+            flat = jnp.zeros_like(
+                mass_diff, shape=(int(np.prod(target_shape)),)
+            )
+            return flat.reshape(target_shape)
+
+        flat_size = int(offsets[-1])
         aa_init = {
-            "F": jnp.zeros_like(mass_diff, shape=(max(aa_depth, 1), flat_size)),
-            "G": jnp.zeros_like(mass_diff, shape=(max(aa_depth, 1), flat_size)),
-            "fkm1": zero_flat,
-            "gkm1": zero_flat,
+            "F": varying_zeros((max(aa_depth, 1), flat_size)),
+            "G": varying_zeros((max(aa_depth, 1), flat_size)),
+            "fkm1": varying_zeros((flat_size,)),
+            "gkm1": varying_zeros((flat_size,)),
             "iteration": jnp.array(0, jnp.int32),
         }
         init = (
             jnp.zeros_like(mass_diff),
-            jnp.zeros_like(mass_diff[:, :-1]),
+            tuple(varying_zeros(s) for s in rest_faces_shapes),
             jnp.zeros_like(mass_diff),
             jnp.array(jnp.inf, mass_diff.dtype),
             jnp.array(0, jnp.int32),
@@ -265,22 +343,23 @@ def sharded_beckmann_newton(
         _, _, p, distance, k, _, _ = lax.while_loop(cond, newton_step, init)
         return distance, p, k
 
+    rest_spec = (None,) * (dim - 1)
     sharded = jax.jit(
         jax.shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(P(axis, None), P(axis, None)),
-            out_specs=(P(), P(axis, None), P()),
+            in_specs=(P(axis, *rest_spec), P(axis, *rest_spec)),
+            out_specs=(P(), P(axis, *rest_spec), P()),
         )
     )
 
     if weight is None:
-        weight_field = np.ones((H, W), np.float32)
+        weight_field = np.ones(shape, np.float32)
     else:
         weight_field = np.asarray(
             weight.img if hasattr(weight, "img") else weight, np.float32
         )
-        assert weight_field.shape == (H, W)
+        assert weight_field.shape == shape
 
     def solve(mass_diff):
         return sharded(

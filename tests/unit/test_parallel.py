@@ -450,3 +450,51 @@ def test_sharded_beckmann_newton_weighted_metric():
     )
     assert np.isclose(float(distance), float(ref_distance), rtol=1e-3)
     assert int(iterations) > 1
+
+
+def test_sharded_beckmann_newton_3d_matches_single_device():
+    """3-D domain decomposition (the reference's PET/DICOM OT regime):
+    sharded slab-decomposed Newton == single-device distance."""
+    _require_mesh()
+    import darsia_tpu as da
+    from darsia_tpu.measure.beckmann import BeckmannNewtonSolver
+    from darsia_tpu.parallel.beckmann import sharded_beckmann_newton
+
+    n = 16
+    src = np.zeros((n, n, n))
+    src[3:7, 3:7, 3:7] = 1
+    dst = np.zeros((n, n, n))
+    dst[9:14, 10:15, 8:13] = 1
+    src = src / src.sum() * n**3
+    dst = dst / dst.sum() * n**3
+    mass_diff = (dst - src).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("space",))
+    distance, pressure, iterations = sharded_beckmann_newton(
+        mesh,
+        (n, n, n),
+        voxel_size=1.0 / n,
+        num_iter=300,
+        tol_increment=1e-5,
+        tol_distance=1e-5,
+        aa_depth=5,
+    )(mass_diff)
+    assert np.asarray(pressure).shape == (n, n, n)
+    assert int(iterations) > 1
+
+    single = BeckmannNewtonSolver(
+        da.Grid((n, n, n), 1.0 / n),
+        options={
+            "num_iter": 300,
+            "tol_increment": 1e-5,
+            "tol_distance": 1e-5,
+            "mobility_mode": da.MobilityMode("cell_based"),
+            "l1_mode": da.L1Mode("constant_cell_projection"),
+            "L": 1e9,
+            "aa_depth": 5,
+        },
+    )
+    ref_distance, _, _, _ = single.solve_beckmann_problem(
+        jnp.asarray(mass_diff)
+    )
+    assert np.isclose(float(distance), float(ref_distance), rtol=1e-3)
