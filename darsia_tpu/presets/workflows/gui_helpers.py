@@ -381,8 +381,55 @@ def suggested_workflow_results_folder(
     if workflow == "calibration":
         return results / "calibration"
     if workflow == "comparison":
-        return results / "comparison"
-    if workflow in ("helper", "utils"):
+        # Config overrides win (reference :343-368): [events].path's parent
+        # for events runs, [wasserstein].results for wasserstein runs.
+        has_events = "events" in selected
+        has_wasserstein = any(
+            a.startswith("wasserstein") for a in selected
+        )
+        if has_events and has_wasserstein:
+            return results
+        if has_events:
+            events = merged.get("events", {})
+            path = events.get("path") if isinstance(events, dict) else None
+            if isinstance(path, str) and path.strip():
+                return Path(path).expanduser().parent
+            return results / "events"
+        if has_wasserstein:
+            wasserstein = merged.get("wasserstein", {})
+            override = (
+                wasserstein.get("results")
+                if isinstance(wasserstein, dict)
+                else None
+            )
+            if isinstance(override, str) and override.strip():
+                return Path(override).expanduser()
+            return results / "wasserstein"
+        return None
+    if workflow == "utils":
+        candidates = []
+        if "media" in selected:
+            candidates.append(results / "videos")
+        if {"export calibration", "import calibration"} & selected:
+            candidates.append(results / "calibration")
+        if "download" in selected:
+            download = merged.get("download", {})
+            folder = (
+                download.get("folder") if isinstance(download, dict) else None
+            )
+            candidates.append(
+                Path(folder).expanduser()
+                if isinstance(folder, str) and folder.strip()
+                else results / "raw_data"
+            )
+        if not candidates:
+            return None
+        return (
+            candidates[0]
+            if all(c == candidates[0] for c in candidates)
+            else results
+        )
+    if workflow == "helper":
         return results
     return results
 

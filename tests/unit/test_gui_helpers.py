@@ -201,3 +201,79 @@ class TestAbortProcess:
         finally:
             if process.is_alive():
                 process.kill()
+
+
+class TestComparisonAndUtilsSuggestions:
+    def _config(self, tmp_path, extra: str = "") -> Path:
+        cfg = tmp_path / "config.toml"
+        cfg.write_text(
+            "\n".join(
+                ["[data]", f'results = "{tmp_path / "results"}"', extra]
+            )
+        )
+        return cfg
+
+    def test_comparison_defaults_and_overrides(self, tmp_path):
+        cfg = self._config(tmp_path)
+        results = tmp_path / "results"
+        assert (
+            gh.suggested_workflow_results_folder("comparison", [cfg], ["events"])
+            == results / "events"
+        )
+        assert (
+            gh.suggested_workflow_results_folder(
+                "comparison", [cfg], ["wasserstein compute"]
+            )
+            == results / "wasserstein"
+        )
+        # Both selected -> plain results.
+        assert (
+            gh.suggested_workflow_results_folder(
+                "comparison", [cfg], ["events", "wasserstein compute"]
+            )
+            == results
+        )
+        assert (
+            gh.suggested_workflow_results_folder("comparison", [cfg], [])
+            is None
+        )
+        # Config overrides win.
+        cfg2 = self._config(
+            tmp_path, '[wasserstein]\nresults = "/tmp/w1_out"'
+        )
+        assert gh.suggested_workflow_results_folder(
+            "comparison", [cfg2], ["wasserstein compute"]
+        ) == Path("/tmp/w1_out")
+        cfg3 = self._config(tmp_path, '[events]\npath = "/tmp/ev/events.csv"')
+        assert gh.suggested_workflow_results_folder(
+            "comparison", [cfg3], ["events"]
+        ) == Path("/tmp/ev")
+
+    def test_utils_candidates(self, tmp_path):
+        cfg = self._config(tmp_path)
+        results = tmp_path / "results"
+        assert (
+            gh.suggested_workflow_results_folder("utils", [cfg], ["media"])
+            == results / "videos"
+        )
+        assert (
+            gh.suggested_workflow_results_folder(
+                "utils", [cfg], ["export calibration", "import calibration"]
+            )
+            == results / "calibration"
+        )
+        # Mixed targets fall back to the results root.
+        assert (
+            gh.suggested_workflow_results_folder(
+                "utils", [cfg], ["media", "download"]
+            )
+            == results
+        )
+        assert (
+            gh.suggested_workflow_results_folder("utils", [cfg], [])
+            is None
+        )
+        cfg2 = self._config(tmp_path, '[download]\nfolder = "/tmp/dl"')
+        assert gh.suggested_workflow_results_folder(
+            "utils", [cfg2], ["download"]
+        ) == Path("/tmp/dl")
