@@ -97,6 +97,7 @@ def sharded_beckmann_newton(
     regularization: Optional[float] = None,
     aa_depth: int = 0,
     weight=None,
+    precond: str = "jacobi",
 ):
     """Build a sharded W1 solve ``solve(mass_diff) -> (distance, p, k)``.
 
@@ -112,6 +113,14 @@ def sharded_beckmann_newton(
     (sharded history buffers, psum-assembled normal equations) —
     typically several times fewer Newton iterations, matching the
     single-device solver's ``aa_depth`` option.
+
+    ``precond="two_level"`` augments the inner CG's Jacobi preconditioner
+    with a coarse-grid correction: the transmissibilities are Galerkin-
+    coarsened locally (2x per level, aggregates never straddle shards),
+    the small coarse problem is all-gathered and a geometric-MG V-cycle
+    runs redundantly on every device — the domain-decomposition analogue
+    of the single-device MG-PCG, keeping inner iteration counts roughly
+    grid-independent on large sharded meshes.
     """
     shape = tuple(int(s) for s in shape)
     dim = len(shape)
@@ -136,6 +145,23 @@ def sharded_beckmann_newton(
 
     fwd = [(i, (i + 1) % num) for i in range(num)]  # send to next shard
     bwd = [(i, (i - 1) % num) for i in range(num)]  # send to previous shard
+
+    # Two-level preconditioner: number of LOCAL 2x coarsening levels
+    # (aggregates must not straddle shards; interior axes stay >= 8).
+    local_levels = 0
+    if precond == "two_level":
+        l0, rest_min = local0, min(rest)
+        while (
+            local_levels < 3
+            and l0 % 2 == 0
+            and l0 >= 2
+            and rest_min % 2 == 0
+            and rest_min >= 16
+        ):
+            l0 //= 2
+            rest_min //= 2
+            local_levels += 1
+    use_coarse = local_levels > 0
 
     rest_faces_shapes = [
         (local0,)
@@ -201,8 +227,74 @@ def sharded_beckmann_newton(
             fw0_p = jnp.where(pad_face, 1.0, 1.0 / jnp.maximum(inv0, 1e-30))
             return fw0_p, tuple(fw_rest)
 
+        def coarsen_local(trans0_p, trans_rest):
+            """One local 2x Galerkin coarsening in the padded layout.
+
+            Coarse axis-0 faces live at even padded slots (the pad stays
+            the pad); interior-axis faces coarsen like the single-device
+            :func:`beckmann_kernels.tpfa_coarsen_trans`, with the axis-0
+            transverse pair-sum shard-local (aggregates never straddle
+            shards since ``local0`` is even at every retained level).
+            """
+            t0 = trans0_p[::2]
+            for e in range(1, dim):
+                t0 = bk._pair_sum(t0, e)
+            rest_c = []
+            for k in range(dim - 1):
+                ax = k + 1
+                t = trans_rest[k]
+                t = lax.slice_in_dim(t, 1, t.shape[ax], stride=2, axis=ax)
+                for e in range(dim):
+                    if e != ax:
+                        t = bk._pair_sum(t, e)
+                rest_c.append(t)
+            return t0, tuple(rest_c)
+
+        def coarse_preconditioner(trans0_p, trans_rest, diag):
+            """Additive Jacobi + gathered coarse V-cycle correction."""
+            t0_c, rest_c = trans0_p, trans_rest
+            for _ in range(local_levels):
+                t0_c, rest_c = coarsen_local(t0_c, rest_c)
+            local0_c = t0_c.shape[0]
+            # Standard-layout global coarse trans: concatenated padded
+            # slots minus shard 0's pad slot = all interior faces.
+            t0_g = lax.all_gather(t0_c, axis, axis=0, tiled=True)[1:]
+            rest_g = tuple(
+                lax.all_gather(t, axis, axis=0, tiled=True) for t in rest_c
+            )
+            coarse_shape = (local0_c * num,) + rest_g[0].shape[1:]
+            levels = bk.tpfa_mg_levels(coarse_shape)
+            trans_levels = [(t0_g, *rest_g)]
+            for _ in range(levels - 1):
+                trans_levels.append(
+                    bk.tpfa_coarsen_trans(trans_levels[-1], dim)
+                )
+            diag_levels = [bk._tpfa_diag(t, dim) for t in trans_levels]
+
+            def M(r):
+                rc = r
+                for _ in range(local_levels):
+                    rc = bk._restrict_cells(rc, dim)
+                rc_g = lax.all_gather(rc, axis, axis=0, tiled=True)
+                ec_g = bk._tpfa_vcycle(
+                    rc_g, trans_levels, diag_levels, dim, 2, 40
+                )
+                ec = lax.dynamic_slice_in_dim(
+                    ec_g, idx.astype(jnp.int32) * local0_c, local0_c, axis=0
+                )
+                shapes = [local_shape]
+                for _ in range(local_levels - 1):
+                    shapes.append(
+                        tuple((n + 1) // 2 for n in shapes[-1])
+                    )
+                for fine_shape in reversed(shapes):
+                    ec = bk._prolong_cells(ec, fine_shape, dim)
+                return r / diag + ec
+
+            return M
+
         def tpfa_operator(fw0_p, fw_rest):
-            """(A, diag) for the shard-local weighted TPFA block."""
+            """(A, diag, M) for the shard-local weighted TPFA block."""
             trans0_p = jnp.where(
                 pad_face, 0.0, face_vol[0] ** 2 / (fw0_p * cell_vol)
             )
@@ -232,7 +324,13 @@ def sharded_beckmann_newton(
                 ax = k + 1
                 diag = diag + _pad_axis(trans_rest[k], ax, 1, 0)
                 diag = diag + _pad_axis(trans_rest[k], ax, 0, 1)
-            return A, jnp.maximum(diag, 1e-30)
+            diag = jnp.maximum(diag, 1e-30)
+            M = (
+                coarse_preconditioner(trans0_p, trans_rest, diag)
+                if use_coarse
+                else None
+            )
+            return A, diag, M
 
         def flux_from_pressure(fw0_p, fw_rest, p):
             prev_last = lax.ppermute(p[-1:], axis, fwd)
@@ -273,9 +371,9 @@ def sharded_beckmann_newton(
             u0_p, u_rest, _, dist_prev, k, _, aa_state = state
             rho = transport_density(u0_p, u_rest)
             fw0_p, fw_rest = face_weights(rho)
-            A, diag = tpfa_operator(fw0_p, fw_rest)
+            A, diag, M = tpfa_operator(fw0_p, fw_rest)
             p = projected_pcg_local(
-                A, diag, mass_rhs, axis, cg_tol, cg_maxiter
+                A, diag, mass_rhs, axis, cg_tol, cg_maxiter, M=M
             )
             u0_new, u_rest_new = flux_from_pressure(fw0_p, fw_rest, p)
 

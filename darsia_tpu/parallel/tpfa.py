@@ -29,16 +29,22 @@ from .halo import halo_exchange
 __all__ = ["sharded_tpfa_cg", "projected_pcg_local", "local_tpfa_operator"]
 
 
-def projected_pcg_local(A, diag, rhs, axis: str, tol: float, maxiter: int):
-    """Per-shard body of the nullspace-projected Jacobi-PCG.
+def projected_pcg_local(
+    A, diag, rhs, axis: str, tol: float, maxiter: int, M=None
+):
+    """Per-shard body of the nullspace-projected PCG.
 
     ``A`` is the shard-local operator closure (must already perform its
-    halo exchanges); ``diag`` its diagonal for the Jacobi preconditioner;
-    reductions ride ``lax.psum`` over ``axis``.  Returns the mean-zero
+    halo exchanges); ``diag`` its diagonal for the default Jacobi
+    preconditioner — pass ``M`` (a linear SPD closure on the local block)
+    to override, e.g. with a two-level coarse-grid correction.
+    Reductions ride ``lax.psum`` over ``axis``.  Returns the mean-zero
     solution block.  Runs inside ``shard_map`` — also reused by the
     sharded Beckmann Newton loop, where it is called once per outer
     iteration inside the same program.
     """
+    if M is None:
+        M = lambda r: r / diag  # noqa: E731 - default Jacobi
     n_total = lax.psum(jnp.array(rhs.size, jnp.float32), axis_name=axis)
 
     def project(v):
@@ -48,7 +54,7 @@ def projected_pcg_local(A, diag, rhs, axis: str, tol: float, maxiter: int):
     b = project(rhs)
     x = jnp.zeros_like(b)
     r = b - A(x)
-    z = project(r / diag)
+    z = project(M(r))
     p_vec = z
     rz = lax.psum(jnp.vdot(r, z), axis_name=axis)
     b_norm = jnp.sqrt(
@@ -70,7 +76,7 @@ def projected_pcg_local(A, diag, rhs, axis: str, tol: float, maxiter: int):
         alpha = rz / jnp.maximum(pAp, 1e-30)
         x_new = project(x + alpha * p_vec)
         r_new = r - alpha * Ap
-        z = project(r_new / diag)
+        z = project(M(r_new))
         rz_new = lax.psum(jnp.vdot(r_new, z), axis_name=axis)
         beta = rz_new / jnp.maximum(rz, 1e-30)
         return x_new, r_new, z + beta * p_vec, rz_new, k + 1

@@ -498,3 +498,63 @@ def test_sharded_beckmann_newton_3d_matches_single_device():
         jnp.asarray(mass_diff)
     )
     assert np.isclose(float(distance), float(ref_distance), rtol=1e-3)
+
+
+def test_sharded_beckmann_two_level_preconditioner():
+    """With a tight inner-CG budget the gathered coarse-grid correction
+    converges where Jacobi-PCG cannot (grid-independence payoff)."""
+    _require_mesh()
+    import darsia_tpu as da
+    from darsia_tpu.measure.beckmann import BeckmannNewtonSolver
+    from darsia_tpu.parallel.beckmann import sharded_beckmann_newton
+
+    n = 128
+    src = np.zeros((n, n))
+    src[8:40, 8:40] = 1
+    dst = np.zeros((n, n))
+    dst[80:120, 88:124] = 1
+    src = src / src.sum() * n * n
+    dst = dst / dst.sum() * n * n
+    mass_diff = (dst - src).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("space",))
+    base = dict(
+        num_iter=200, tol_increment=1e-4, tol_distance=1e-4, aa_depth=5
+    )
+
+    single = BeckmannNewtonSolver(
+        da.Grid((n, n), 1.0 / n),
+        options={
+            **base,
+            "mobility_mode": da.MobilityMode("cell_based"),
+            "l1_mode": da.L1Mode("constant_cell_projection"),
+            "L": 1e9,
+        },
+    )
+    ref_distance, _, _, _ = single.solve_beckmann_problem(
+        jnp.asarray(mass_diff)
+    )
+
+    two_level, _, k2 = sharded_beckmann_newton(
+        mesh,
+        (n, n),
+        voxel_size=1.0 / n,
+        precond="two_level",
+        cg_maxiter=60,
+        **base,
+    )(mass_diff)
+    assert np.isclose(float(two_level), float(ref_distance), rtol=2e-3)
+    assert int(k2) < 200  # converged, not capped
+
+    jacobi, _, kj = sharded_beckmann_newton(
+        mesh,
+        (n, n),
+        voxel_size=1.0 / n,
+        precond="jacobi",
+        cg_maxiter=60,
+        **base,
+    )(mass_diff)
+    # Same inner budget without the coarse correction: Newton caps out
+    # and the distance is visibly off.
+    assert int(kj) == 200
+    assert not np.isclose(float(jacobi), float(ref_distance), rtol=2e-3)
