@@ -108,6 +108,9 @@ def run_analysis(
 
 
 def main(argv=None) -> None:
+    from ...utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = build_parser_for_analysis()
     args = parser.parse_args(argv)
     if print_help_for_flags(args, parser):

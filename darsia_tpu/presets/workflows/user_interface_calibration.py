@@ -58,6 +58,9 @@ def run_calibration(rig_cls=Rig, args=None) -> None:
 
 
 def main(argv=None) -> None:
+    from ...utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = build_parser_for_calibration()
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)

@@ -51,6 +51,9 @@ def run_helper(rig_cls=Rig, args=None) -> None:
 
 
 def main(argv=None) -> None:
+    from ...utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = build_parser_for_helper()
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)

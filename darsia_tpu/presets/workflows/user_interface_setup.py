@@ -69,6 +69,9 @@ def run_setup(rig_cls=Rig, args=None) -> None:
 
 
 def main(argv=None) -> None:
+    from ...utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = build_parser_for_setup()
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
