@@ -644,6 +644,24 @@ class Rig:
         cls = ExtensiveImage if is_extensive else ScalarImage
         return cls(values_reshaped, **metadata)
 
+    def read_images(self, paths, depth: int = 2):
+        """Yield corrected images over a series with the host decode
+        prefetched (darsia_tpu extension; the reference reads strictly
+        sequentially).  Yields ``(path, image)``; unreadable frames are
+        logged and skipped, matching the workflow loops' best-effort
+        semantics."""
+        from ...utils.prefetch import prefetch_map
+
+        for result in prefetch_map(
+            self.read_image, [Path(p) for p in paths], depth=depth
+        ):
+            if result.ok:
+                yield result.item, result.value
+            else:
+                logger.error(
+                    "Failed to read image '%s': %s", result.item, result.error
+                )
+
     def read_image(self, path: Path) -> Image:
         """Read + correct an image; date comes from the imaging protocol
         (reference rig.py:1135-1166)."""
