@@ -146,6 +146,10 @@ def sharded_beckmann_newton(
     fwd = [(i, (i + 1) % num) for i in range(num)]  # send to next shard
     bwd = [(i, (i - 1) % num) for i in range(num)]  # send to previous shard
 
+    if precond not in ("jacobi", "two_level"):
+        raise ValueError(
+            f"Unknown precond {precond!r}; use 'jacobi' or 'two_level'."
+        )
     # Two-level preconditioner: number of LOCAL 2x coarsening levels
     # (aggregates must not straddle shards; interior axes stay >= 8).
     local_levels = 0
@@ -161,6 +165,16 @@ def sharded_beckmann_newton(
             l0 //= 2
             rest_min //= 2
             local_levels += 1
+        if local_levels == 0:
+            import warnings
+
+            warnings.warn(
+                "precond='two_level' admits no local coarsening for shape "
+                f"{shape} over {num} shards (leading local extent {local0}, "
+                f"min interior extent {min(rest)}); falling back to Jacobi. "
+                "Tighten cg_maxiter with care.",
+                stacklevel=2,
+            )
     use_coarse = local_levels > 0
 
     rest_faces_shapes = [
@@ -262,7 +276,9 @@ def sharded_beckmann_newton(
             rest_g = tuple(
                 lax.all_gather(t, axis, axis=0, tiled=True) for t in rest_c
             )
-            coarse_shape = (local0_c * num,) + rest_g[0].shape[1:]
+            coarse_shape = (local0_c * num,) + tuple(
+                n // 2**local_levels for n in rest
+            )
             levels = bk.tpfa_mg_levels(coarse_shape)
             trans_levels = [(t0_g, *rest_g)]
             for _ in range(levels - 1):

@@ -90,8 +90,8 @@ def local_tpfa_operator(trans_rows_p, trans_col, axis: str, num: int):
 
     ``trans_rows_p[k]`` is the transmissibility of the face ABOVE local
     row ``k`` (shard 0's row 0 is the nonexistent global boundary face and
-    is masked).  Used both by :func:`sharded_tpfa_cg` and the sharded
-    Beckmann Newton iteration.
+    is masked).  Consumed by :func:`sharded_tpfa_cg`; the sharded Beckmann
+    Newton loop builds its own dimension-generic operator.
     """
     below = lax.ppermute(
         trans_rows_p[:1], axis, [(i, (i - 1) % num) for i in range(num)]

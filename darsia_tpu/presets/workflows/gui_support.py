@@ -569,46 +569,56 @@ _STEP_RESULTS_SUBFOLDER = {
 }
 
 
+# Step label -> (workflow, actions) for gui_helpers' suggestion logic —
+# ONE source of truth for per-section folder overrides.
+_STEP_WORKFLOW_ACTIONS = {
+    "comparison: wasserstein": ("comparison", ["wasserstein compute"]),
+    "utils: media": ("utils", ["media"]),
+    "utils: export calibration bundle": ("utils", ["export calibration"]),
+}
+
+
 def results_folder_for_step(step: str, config_paths) -> Optional[Path]:
-    """Best-effort output folder of a step under the merged config."""
+    """Best-effort output folder of a step under the merged config.
+
+    Delegates to :func:`gui_helpers.suggested_workflow_results_folder`
+    (the reference's override rules — e.g. ``[wasserstein].results``,
+    ``[analysis.<mode>].folder``) so the GUI's "open results" button and
+    the suggestion helper can never disagree.
+    """
+    from .gui_helpers import (
+        suggested_analysis_results_folder,
+        suggested_workflow_results_folder,
+    )
+
     manager = (
         config_paths
         if isinstance(config_paths, ConfigManager)
         else ConfigManager(config_paths)
     )
+    paths = list(getattr(manager, "paths", []) or [])
+    if not paths:
+        return None
     try:
-        merged = manager.merged()
+        if step in _STEP_RESULTS_SUBFOLDER:
+            return suggested_analysis_results_folder(
+                paths, [_STEP_RESULTS_SUBFOLDER[step]]
+            )
+        if step in _STEP_WORKFLOW_ACTIONS:
+            workflow, actions = _STEP_WORKFLOW_ACTIONS[step]
+            return suggested_workflow_results_folder(workflow, paths, actions)
+        results = manager.results_folder()
+        if results is None:
+            return None
+        if step.startswith("setup:"):
+            return results / "setup"
+        if step.startswith("calibration:"):
+            return results / "calibration"
+        if step.startswith("utils:"):
+            return results / "calibration"
+        return results
     except Exception:
         return None
-    results = manager.results_folder()
-    if results is None:
-        return None
-    if step in _STEP_RESULTS_SUBFOLDER:
-        mode = _STEP_RESULTS_SUBFOLDER[step]
-        analysis = merged.get("analysis")
-        if isinstance(analysis, dict):
-            section = analysis.get(mode)
-            if isinstance(section, dict):
-                folder = section.get("folder")
-                if isinstance(folder, str) and folder.strip():
-                    return Path(folder).expanduser()
-        return results / mode
-    if step.startswith("setup:"):
-        return results / "setup"
-    if step.startswith("calibration:"):
-        return results / "calibration"
-    if step == "comparison: wasserstein":
-        wasserstein = merged.get("wasserstein")
-        if isinstance(wasserstein, dict):
-            folder = wasserstein.get("results")
-            if isinstance(folder, str) and folder.strip():
-                return Path(folder).expanduser()
-        return results / "wasserstein"
-    if step == "utils: media":
-        return results / "videos"
-    if step.startswith("utils:"):
-        return results / "calibration"
-    return results
 
 
 def open_in_file_explorer(path, runner=None) -> list[str]:

@@ -203,13 +203,9 @@ def _worker(
         # recompiles of programs the session (or a previous worker) has
         # already built — without it a fresh worker recompiles the whole
         # correction/analysis pipeline from scratch on every step.
-        try:
-            import jax
+        from ...utils.jax_cache import enable_persistent_cache
 
-            jax.config.update("jax_compilation_cache_dir", jax_cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        except Exception:
-            pass
+        enable_persistent_cache(directory=jax_cache_dir)
     root_logger = logging.getLogger()
     root_logger.addHandler(logging.handlers.QueueHandler(log_queue))
     root_logger.setLevel(logging.INFO)

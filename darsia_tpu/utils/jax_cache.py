@@ -25,8 +25,10 @@ def enable_persistent_cache(directory: Optional[str] = None) -> Optional[str]:
     env = os.environ.get("DARSIA_TPU_JAX_CACHE", "")
     if env.lower() in ("0", "off", "false"):
         return None
+    uid = getattr(os, "getuid", None)
+    suffix = str(uid()) if uid is not None else os.environ.get("USERNAME", "user")
     target = directory or env or str(
-        Path(tempfile.gettempdir()) / f"darsia_tpu_jax_cache_{os.getuid()}"
+        Path(tempfile.gettempdir()) / f"darsia_tpu_jax_cache_{suffix}"
     )
     try:
         import jax
