@@ -65,12 +65,16 @@ def wasserstein_distance(
         diff = np.asarray(mass_dst.img, np.float32) - np.asarray(
             mass_src.img, np.float32
         )
-        distance, pressure, iterations = solve(diff)
         if return_info:
+            distance, fluxes, pressure, iterations = solve(
+                diff, return_fluxes=True
+            )
             return float(distance), {
                 "pressure": pressure,
+                "flux": fluxes,
                 "number_iterations": int(iterations),
             }
+        distance, _, _ = solve(diff)
         return float(distance)
     if method_name in ("newton", "bregman", "gprox"):
         grid = generate_grid(mass_dst)

@@ -454,16 +454,19 @@ def sharded_beckmann_newton(
             jnp.array(False),
             aa_init,
         )
-        _, _, p, distance, k, _, _ = lax.while_loop(cond, newton_step, init)
-        return distance, p, k
+        u0_p, u_rest, p, distance, k, _, _ = lax.while_loop(
+            cond, newton_step, init
+        )
+        return (distance, p, k, u0_p) + tuple(u_rest)
 
     rest_spec = (None,) * (dim - 1)
+    flux_specs = tuple(P(axis, *rest_spec) for _ in range(dim))
     sharded = jax.jit(
         jax.shard_map(
             per_shard,
             mesh=mesh,
             in_specs=(P(axis, *rest_spec), P(axis, *rest_spec)),
-            out_specs=(P(), P(axis, *rest_spec), P()),
+            out_specs=(P(), P(axis, *rest_spec), P()) + flux_specs,
         )
     )
 
@@ -475,9 +478,17 @@ def sharded_beckmann_newton(
         )
         assert weight_field.shape == shape
 
-    def solve(mass_diff):
-        return sharded(
+    def solve(mass_diff, return_fluxes: bool = False):
+        out = sharded(
             jnp.asarray(mass_diff, jnp.float32), jnp.asarray(weight_field)
         )
+        distance, p, k = out[0], out[1], out[2]
+        if not return_fluxes:
+            return distance, p, k
+        # Per-axis face arrays in the single-device layout: the padded
+        # axis-0 block drops the global-boundary pad slot.
+        u0 = out[3][1:]
+        fluxes = (u0,) + tuple(out[4:])
+        return distance, fluxes, p, k
 
     return solve

@@ -558,3 +558,46 @@ def test_sharded_beckmann_two_level_preconditioner():
     # and the distance is visibly off.
     assert int(kj) == 200
     assert not np.isclose(float(jacobi), float(ref_distance), rtol=2e-3)
+
+
+def test_sharded_beckmann_newton_returns_fluxes():
+    """return_fluxes=True yields per-axis face arrays in the single-device
+    layout that satisfy the discrete mass balance."""
+    _require_mesh()
+    from darsia_tpu.measure import beckmann_kernels as bk
+    from darsia_tpu.parallel.beckmann import sharded_beckmann_newton
+
+    n = 32
+    src = np.zeros((n, n))
+    src[6:14, 6:14] = 1
+    dst = np.zeros((n, n))
+    dst[18:28, 20:30] = 1
+    src = src / src.sum() * n * n
+    dst = dst / dst.sum() * n * n
+    mass_diff = (dst - src).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("space",))
+    solve = sharded_beckmann_newton(
+        mesh,
+        (n, n),
+        voxel_size=1.0 / n,
+        num_iter=300,
+        tol_increment=1e-5,
+        tol_distance=1e-5,
+        aa_depth=5,
+    )
+    distance, fluxes, _, _ = solve(mass_diff, return_fluxes=True)
+    assert np.asarray(fluxes[0]).shape == (n - 1, n)
+    assert np.asarray(fluxes[1]).shape == (n, n - 1)
+    div = np.asarray(
+        bk.face_divergence(
+            tuple(jnp.asarray(np.asarray(f)) for f in fluxes),
+            (1.0 / n, 1.0 / n),
+            2,
+        )
+    )
+    rhs = (1.0 / n) ** 2 * mass_diff
+    assert np.linalg.norm(div - rhs) < 5e-3 * np.linalg.norm(rhs)
+    # Default return shape is unchanged.
+    d2, _, _ = solve(mass_diff)
+    assert float(d2) == float(distance)
