@@ -271,6 +271,11 @@ class Image:
             np.asarray(image.dimensions, dtype=float),
         ):
             raise ValueError("Incompatible voxel grids for append.")
+        if not np.allclose(
+            np.asarray(self.origin, dtype=float),
+            np.asarray(image.origin, dtype=float),
+        ):
+            raise ValueError("Incompatible origins for append.")
 
         def time_slices(im: "Image") -> list:
             if im.series:
@@ -284,6 +289,10 @@ class Image:
         slices = time_slices(self) + time_slices(image)
         self.img = jnp.stack(slices, axis=self.space_dim)
         self.series = True
+        # A series carries a time axis: keep the constructor invariant
+        # len(shape) == space_dim + time_dim + range_dim intact (reference
+        # image.py:372-440 sets time_dim = 1 on append).
+        self.time_dim = 1
 
         # Dates concatenate; relative times shift by the given offset.
         dates = self.date if isinstance(self.date, list) else [self.date]

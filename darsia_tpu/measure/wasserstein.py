@@ -49,7 +49,12 @@ def wasserstein_distance(
         from ..parallel.beckmann import sharded_beckmann_newton
 
         options = dict(kwargs.get("options", {}))
-        mesh = options.pop("mesh")
+        mesh = options.pop("mesh", None)
+        if mesh is None:
+            raise ValueError(
+                'sharded_newton requires options["mesh"] = '
+                "jax.sharding.Mesh(...) naming the devices to shard over."
+            )
         return_info = options.pop("return_info", False)
         grid = generate_grid(mass_dst)
         solve = sharded_beckmann_newton(

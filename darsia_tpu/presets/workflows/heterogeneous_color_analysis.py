@@ -284,18 +284,22 @@ class HeterogeneousColorAnalysis(ConcentrationAnalysis):
                 "base_color": np.asarray(color_path.base_color).tolist(),
                 "colors": [np.asarray(c).tolist() for c in color_path.colors],
                 "values": [],
+                "values_per_label": {},
                 "labels": [],
             }
         labels_arr = np.asarray(self.labels.img)
         for label in np.unique(labels_arr):
             path_id = int(self.color_path_associations[int(label)])
             payload[str(path_id)]["labels"].append(int(label))
-            # Per-label interpolation values live on the label's model;
-            # labels sharing a path share values, so last-writer wins.
+            # Interpolation values are stored per label: labels sharing a
+            # color path may have been tuned individually via
+            # update_model_parameters, so a single shared table would
+            # silently drop those differences on a save/load round-trip.
             model = self.model[0][int(label)]
-            payload[str(path_id)]["values"] = [
-                float(v) for v in np.asarray(model.values).ravel()
-            ]
+            values = [float(v) for v in np.asarray(model.values).ravel()]
+            payload[str(path_id)]["values_per_label"][str(int(label))] = values
+            # Keep the legacy shared table for readers of the old format.
+            payload[str(path_id)]["values"] = values
         out = Path(path).with_suffix(".json")
         out.parent.mkdir(parents=True, exist_ok=True)
         out.write_text(json.dumps(payload, indent=2))
@@ -318,10 +322,12 @@ class HeterogeneousColorAnalysis(ConcentrationAnalysis):
                 mode="rgb",
             )
             self.color_paths.append(color_path)
+            per_label = entry.get("values_per_label", {})
             for label in entry["labels"]:
                 self.color_path_associations[int(label)] = int(path_id)
                 self._assign_color_path(int(label), color_path)
-                if entry["values"]:
+                values = per_label.get(str(int(label)), entry.get("values"))
+                if values:
                     self.model[0][int(label)].update_model_parameters(
-                        np.asarray(entry["values"], dtype=float)
+                        np.asarray(values, dtype=float)
                     )
