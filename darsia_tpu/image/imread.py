@@ -186,19 +186,45 @@ def imread_from_optical(
     path,
     time=None,
     transformations=None,
+    transfer: Optional[str] = None,
     **kwargs,
 ) -> OpticalImage:
     """Read jpg/png/tif photograph(s) into OpticalImage(s).
 
     A list of paths yields a space-time series image.
+
+    ``transfer="yuv420"`` ships each decoded frame to the device as a
+    full-res luma plane + 2x2-subsampled chroma (1.5 bytes/pixel instead
+    of 3) and reconstructs RGB on-device — JPEGs store chroma
+    4:2:0-subsampled anyway, so the loss is a fraction of a uint8 level
+    (see :mod:`darsia_tpu.utils.transfer`).  Use it when the host-device
+    link, not the decode, bounds the ingest loop.
     """
     kwargs.pop("suffix", None)
+
+    def promote(arr: np.ndarray):
+        if (
+            transfer == "yuv420"
+            and arr.ndim == 3
+            and arr.shape[-1] == 3
+            and arr.dtype == np.uint8
+        ):
+            from ..utils.transfer import put_rgb_yuv420
+
+            return put_rgb_yuv420(arr)
+        return arr
+
     if isinstance(path, list):
-        arrays = [_read_single_optical(p) for p in path]
+        arrays = [promote(_read_single_optical(p)) for p in path]
         dates = kwargs.pop("date", None)
         if dates is None:
             dates = [_exif_date(p) for p in path]
-        array = np.stack(arrays, axis=2)  # time axis after 2 space dims
+        if any(not isinstance(a, np.ndarray) for a in arrays):
+            import jax.numpy as jnp
+
+            array = jnp.stack(arrays, axis=2)
+        else:
+            array = np.stack(arrays, axis=2)  # time axis after 2 space dims
         image = OpticalImage(
             img=array,
             series=True,
@@ -209,7 +235,7 @@ def imread_from_optical(
         )
         return image
 
-    array = _read_single_optical(path)
+    array = promote(_read_single_optical(path))
     date = kwargs.pop("date", None)
     if date is None:
         date = _exif_date(path)

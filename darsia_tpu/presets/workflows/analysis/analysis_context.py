@@ -30,7 +30,7 @@ __all__ = [
 ]
 
 
-def iter_prefetched_images(ctx, image_paths=None, depth: int = 2):
+def iter_prefetched_images(ctx, image_paths=None, depth=None):
     """Yield ``(index, path, image_or_None)`` over an analysis image set
     with the host decode prefetched on worker threads.
 

@@ -644,7 +644,7 @@ class Rig:
         cls = ExtensiveImage if is_extensive else ScalarImage
         return cls(values_reshaped, **metadata)
 
-    def read_images(self, paths, depth: int = 2):
+    def read_images(self, paths, depth=None):
         """Yield corrected images over a series with the host decode
         prefetched (darsia_tpu extension; the reference reads strictly
         sequentially).  Yields ``(path, image)``; unreadable frames are

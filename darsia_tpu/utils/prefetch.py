@@ -18,7 +18,7 @@ from __future__ import annotations
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterable, Iterator, Optional, Tuple
 
-__all__ = ["prefetch_map", "PrefetchResult"]
+__all__ = ["prefetch_map", "PrefetchResult", "default_workers"]
 
 
 class PrefetchResult:
@@ -36,19 +36,33 @@ class PrefetchResult:
         return self.error is None
 
 
+def default_workers() -> int:
+    """Worker count scaled to the host: one decode thread per core, capped
+    (decode is ~40 ms/frame/core; more threads than cores just contend)."""
+    import os
+
+    return max(1, min(8, os.cpu_count() or 1))
+
+
 def prefetch_map(
     fn: Callable,
     items: Iterable,
-    depth: int = 2,
-    workers: int = 2,
+    depth: Optional[int] = None,
+    workers: Optional[int] = None,
 ) -> Iterator[PrefetchResult]:
     """Yield ``PrefetchResult`` for ``fn(item)`` over ``items``, keeping up
     to ``depth`` loads in flight ahead of the consumer.
 
     Results are yielded in input order.  ``depth <= 0`` degrades to the
-    plain sequential loop (no threads).
+    plain sequential loop (no threads).  ``workers``/``depth`` default to
+    the host core count (``depth = workers + 1`` so the pool never idles
+    while the consumer holds the oldest future).
     """
     items = list(items)
+    if workers is None:
+        workers = default_workers()
+    if depth is None:
+        depth = workers + 1
     if depth <= 0 or len(items) <= 1:
         for item in items:
             try:
