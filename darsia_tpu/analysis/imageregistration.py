@@ -28,6 +28,10 @@ class DiffeomorphicImageRegistration:
     def __init__(self, img_dst: Image, **kwargs) -> None:
         self.N_patches = kwargs.get("N_patches", [1, 1])
         self.rel_overlap = kwargs.get("rel_overlap", 0.0)
+        # fused=True: route __call__ through the single-program lane
+        # (TranslationAnalysis.fused_align) — the production hot path.
+        self.fused = kwargs.get("fused", False)
+        self.max_disp = int(kwargs.get("max_disp", 120))
         self.translation_analysis = TranslationAnalysis(
             img_dst,
             N_patches=self.N_patches,
@@ -52,7 +56,13 @@ class DiffeomorphicImageRegistration:
     def __call__(
         self, img: Image, mask=None, return_transformed_dst: bool = False
     ):
-        transformed = self.translation_analysis(img, mask=mask)
+        if self.fused:
+            self.translation_analysis.load_image(img, mask=mask)
+            transformed = self.translation_analysis.fused_align(
+                img, max_disp=self.max_disp
+            )
+        else:
+            transformed = self.translation_analysis(img, mask=mask)
         if return_transformed_dst:
             dst = self.translation_analysis.translate_image(
                 self.translation_analysis.base, reverse=False
@@ -172,11 +182,12 @@ class MultiscaleDiffeomorphicImageRegistration(DiffeomorphicImageRegistration):
             total_field = field if total_field is None else total_field + field
 
             # Warp the running image by the accumulated field for next level.
-            from ..ops.warp import identity_grid, warp
+            from ..ops.warp import identity_grid, warp_backend
 
             coords = identity_grid((H, W)) - jnp.asarray(total_field)
             data = jnp.asarray(img.img).astype(jnp.float32)
-            warped = warp(data, coords, order=1)
+            max_disp = int(np.ceil(np.abs(total_field).max())) + 1
+            warped = warp_backend(data, coords, order=1, max_disp=max_disp)
             current = img.copy()
             current.img = warped.astype(img.img.dtype)
 
@@ -187,15 +198,18 @@ class MultiscaleDiffeomorphicImageRegistration(DiffeomorphicImageRegistration):
         return current
 
     def apply(self, img: Image, reverse: bool = True) -> Image:
-        from ..ops.warp import identity_grid, warp
+        from ..ops.warp import identity_grid, warp_backend
 
         assert self._total_field is not None, "Call registration first."
         shape = tuple(img.num_voxels[:2])
         sign = -1.0 if reverse else 1.0
         coords = identity_grid(shape) + sign * jnp.asarray(self._total_field)
         data = jnp.asarray(img.img).astype(jnp.float32)
+        max_disp = int(np.ceil(np.abs(self._total_field).max())) + 1
         out = img.copy()
-        out.img = warp(data, coords, order=1).astype(img.img.dtype)
+        out.img = warp_backend(
+            data, coords, order=1, max_disp=max_disp
+        ).astype(img.img.dtype)
         return out
 
 

@@ -30,7 +30,7 @@ from ..ops.fft import (
     phase_correlation_prepared,
     prepare_phase_reference,
 )
-from ..ops.warp import identity_grid, warp
+from ..ops.warp import identity_grid, warp_backend
 from ..utils.interpolation import rbf_interpolate
 
 __all__ = ["TranslationAnalysis"]
@@ -40,6 +40,36 @@ def _to_gray(arr: jnp.ndarray) -> jnp.ndarray:
     if arr.ndim == 3:
         return rgb_to_gray(arr.astype(jnp.float32))
     return arr.astype(jnp.float32)
+
+
+def _tps_host(d: np.ndarray) -> np.ndarray:
+    """Thin-plate kernel r^2 log r, host-side (numpy)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(d > 0, d * d * np.log(np.where(d > 0, d, 1.0)), 0.0)
+
+
+def _tps_system_inverse(pts: np.ndarray) -> np.ndarray:
+    """Inverse of the TPS interpolation system [[K, P], [P^T, 0]].
+
+    Prefactoring (setup-time) turns the per-image displacement solve into
+    one matvec — the trick that lets the whole registration compile into a
+    single program (cf. rbf_interpolate, which solves per call).
+    """
+    n = pts.shape[0]
+    K = _tps_host(np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1))
+    poly = np.concatenate([np.ones((n, 1)), pts], axis=1)
+    A = np.block([[K, poly], [poly.T, np.zeros((3, 3))]])
+    return np.linalg.inv(A)
+
+
+def _tps_eval_matrix(pts: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """Static evaluation matrix E with E @ sol = TPS field at query points."""
+    Kq = _tps_host(
+        np.linalg.norm(query[:, None, :] - pts[None, :, :], axis=-1)
+    )
+    return np.concatenate(
+        [Kq, np.ones((query.shape[0], 1)), query], axis=1
+    )
 
 
 class TranslationAnalysis:
@@ -87,6 +117,9 @@ class TranslationAnalysis:
         self.patches_base = Patches(
             self.base, self.N_patches, rel_overlap=self.rel_overlap
         )
+        # Base/geometry changed: drop compiled caches.
+        self._base_spectra_key = None
+        self._fused_key = None
 
     def load_image(self, img: Image, mask: Optional[Image] = None) -> None:
         self.img = img
@@ -114,7 +147,18 @@ class TranslationAnalysis:
         nv = self.base.num_voxels
         pv = [int(np.ceil(nv[i] / self.N_patches[i])) for i in range(2)]
         ov = [int(np.ceil(self.rel_overlap * pv[i])) for i in range(2)]
-        win = (pv[0] + 2 * ov[0], pv[1] + 2 * ov[1])
+        # Power-of-two FFT windows: TPU FFTs of pow2 sizes are radically
+        # faster than arbitrary sizes.  Round the patch+overlap window to
+        # the nearest pow2 but never below the bare patch (the correlation
+        # window must still cover the patch), capped at the image size.
+        win = []
+        for i in range(2):
+            want = pv[i] + 2 * ov[i]
+            p2 = 1 << max(0, int(np.round(np.log2(max(want, 1)))))
+            if p2 < pv[i]:
+                p2 <<= 1
+            win.append(min(int(nv[i]), p2))
+        win = tuple(win)
         centers = self.patches_base.centers_voxels.reshape(-1, 2)
         return win, centers
 
@@ -160,9 +204,22 @@ class TranslationAnalysis:
         shifts, qualities = jax.vmap(
             lambda f, w: phase_correlation_prepared(f, w, tuple(win))
         )(self._base_spectra, img_windows)
-        shifts = np.asarray(shifts)  # (N, 2) in (row, col)
-        qualities = np.asarray(qualities)
+        return self._ingest_shifts(
+            np.asarray(shifts), np.asarray(qualities), centers, units
+        )
 
+    def _ingest_shifts(
+        self,
+        shifts: np.ndarray,
+        qualities: np.ndarray,
+        centers: np.ndarray,
+        units: list = ["pixel", "pixel"],
+    ) -> tuple:
+        """Build the displacement interpolant from per-patch shift estimates.
+
+        Host-side tail of :meth:`find_translation`; also consumed by the
+        fused aligner lane to materialize the same state lazily.
+        """
         have = qualities > self.quality_tol
         self.have_translation = have.reshape(tuple(self.N_patches))
 
@@ -285,25 +342,45 @@ class TranslationAnalysis:
 
     # ----------------------------------------------------------- application
 
+    #: Above this pixel count the TPS displacement is evaluated on a
+    #: 1/16-resolution grid and bilinearly upsampled.  The field is smooth
+    #: by construction (TPS of ~10^2 patch centers), so the coarse pass is
+    #: visually and numerically indistinguishable while cutting the
+    #: transcendental kernel matmul 256x and — critically on a tunneled
+    #: TPU — keeping the megapixel query grid on device instead of
+    #: uploading it from the host per image.
+    COARSE_THRESHOLD = 1 << 20
+    COARSE_STRIDE = 16
+
     def displacement_field(self, shape) -> jnp.ndarray:
         """Dense (2, H, W) displacement in (row, col) voxel units."""
         if self._displacement_data is None:
             return jnp.zeros((2, *shape), dtype=jnp.float32)
         pts_x, vals_x, pts_y, vals_y = self._displacement_data
         H, W = shape
-        rows, cols = np.meshgrid(
-            np.arange(H, dtype=float), np.arange(W, dtype=float), indexing="ij"
-        )
-        query = np.stack([cols.ravel(), rows.ravel()], axis=1)  # (x, y)
-        dx = np.asarray(rbf_interpolate(pts_x, vals_x, jnp.asarray(query)))
-        dy = np.asarray(rbf_interpolate(pts_y, vals_y, jnp.asarray(query)))
-        return jnp.stack(
-            [
-                jnp.asarray(dy.reshape(H, W), dtype=jnp.float32),
-                jnp.asarray(dx.reshape(H, W), dtype=jnp.float32),
-            ],
-            axis=0,
-        )
+        if H * W > self.COARSE_THRESHOLD:
+            stride = self.COARSE_STRIDE
+            CH = max(2, -(-H // stride))
+            CW = max(2, -(-W // stride))
+        else:
+            CH, CW = H, W
+        # Device-side query grid (x, y) = (col, row).  Coarse samples sit at
+        # the cell centers jax.image.resize(method="linear") assumes —
+        # (i + 0.5) * H/CH - 0.5 — so the upsample is alignment-exact.
+        if (CH, CW) != (H, W):
+            r_pos = (jnp.arange(CH, dtype=jnp.float32) + 0.5) * (H / CH) - 0.5
+            c_pos = (jnp.arange(CW, dtype=jnp.float32) + 0.5) * (W / CW) - 0.5
+        else:
+            r_pos = jnp.arange(H, dtype=jnp.float32)
+            c_pos = jnp.arange(W, dtype=jnp.float32)
+        rr, cc = jnp.meshgrid(r_pos, c_pos, indexing="ij")
+        query = jnp.stack([cc.ravel(), rr.ravel()], axis=1)
+        dx = rbf_interpolate(pts_x, vals_x, query).reshape(CH, CW)
+        dy = rbf_interpolate(pts_y, vals_y, query).reshape(CH, CW)
+        field = jnp.stack([dy, dx], axis=0).astype(jnp.float32)
+        if (CH, CW) != (H, W):
+            field = jax.image.resize(field, (2, H, W), method="linear")
+        return field
 
     def translate_image(self, img: Optional[Image] = None, reverse: bool = True):
         """Warp an image by the estimated displacement (one gather pass)."""
@@ -315,7 +392,139 @@ class TranslationAnalysis:
         sign = -1.0 if reverse else 1.0
         coords = identity_grid(shape) + sign * disp
         dtype = data.dtype
-        out = warp(data.astype(jnp.float32), coords, order=1)
+        # disp is concrete (host RBF evaluation), so the static displacement
+        # bound for the Pallas lane is free to compute here.
+        max_disp = int(np.ceil(float(jnp.max(jnp.abs(disp))))) + 1
+        out = warp_backend(
+            data.astype(jnp.float32), coords, order=1, max_disp=max_disp
+        )
+        if jnp.issubdtype(dtype, jnp.integer):
+            out = jnp.round(out)
+        result = img.copy()
+        result.img = out.astype(dtype)
+        return result
+
+    # ------------------------------------------------------------ fused lane
+
+    def build_fused_aligner(self, max_disp: int = 120):
+        """Compile the per-frame registration hot path into ONE jitted program.
+
+        batched FFT phase correlation -> masked acceptance -> prefactored
+        TPS displacement (coarse grid + bilinear upsample) -> single warp
+        pass (Pallas two-pass on TPU via ``warp_backend``).
+
+        Deviation from the flexible :meth:`find_translation` path
+        (bench-gated against it): patches failing ``quality_tol`` pin ZERO
+        displacement at their centers instead of being dropped — dropping
+        changes the TPS system size per image, which cannot compile into a
+        static program.  For textured lab imagery all patches pass and the
+        two paths agree; see ``tests/unit/test_registration.py``.
+
+        Args:
+            max_disp: static voxel bound for the Pallas warp lane; the
+                interpolated displacement is clipped to ``±(max_disp - 1)``.
+
+        Returns:
+            ``aligner(data) -> (registered_f32, shifts, qualities)`` for
+            (H, W) or (H, W, C) arrays matching the base's spatial shape.
+
+        """
+        win, centers = self._window_geometry()
+        base_gray = _to_gray(jnp.asarray(self.base.img))
+        centers_j = jnp.asarray(centers, dtype=jnp.int32)
+        base_windows = self._extract_windows(base_gray, centers_j, win)
+        base_spectra = jax.vmap(prepare_phase_reference)(base_windows)
+
+        Hs, Ws = (int(v) for v in self.base.num_voxels[:2])
+        centers_xy = np.stack([centers[:, 1], centers[:, 0]], axis=1).astype(
+            np.float32
+        )
+        bc_x_pts, _ = self.bc_x(["pixel", "pixel"])
+        bc_y_pts, _ = self.bc_y(["pixel", "pixel"])
+        pts_x = (
+            np.concatenate(
+                [centers_xy, np.asarray(bc_x_pts, dtype=np.float32)], axis=0
+            )
+            if bc_x_pts
+            else centers_xy
+        )
+        pts_y = (
+            np.concatenate(
+                [centers_xy, np.asarray(bc_y_pts, dtype=np.float32)], axis=0
+            )
+            if bc_y_pts
+            else centers_xy
+        )
+        pad_x = pts_x.shape[0] - centers_xy.shape[0] + 3
+        pad_y = pts_y.shape[0] - centers_xy.shape[0] + 3
+
+        # Coarse evaluation grid (same convention as displacement_field).
+        if Hs * Ws > self.COARSE_THRESHOLD:
+            CH = max(2, -(-Hs // self.COARSE_STRIDE))
+            CW = max(2, -(-Ws // self.COARSE_STRIDE))
+            r_pos = (np.arange(CH) + 0.5) * (Hs / CH) - 0.5
+            c_pos = (np.arange(CW) + 0.5) * (Ws / CW) - 0.5
+        else:
+            CH, CW = Hs, Ws
+            r_pos = np.arange(Hs, dtype=float)
+            c_pos = np.arange(Ws, dtype=float)
+        rr, cc = np.meshgrid(r_pos, c_pos, indexing="ij")
+        query = np.stack([cc.ravel(), rr.ravel()], axis=1).astype(np.float32)
+
+        # All device-resident setup products travel as jit ARGUMENTS, not
+        # closure constants: tracing a closed-over jax.Array embeds it as an
+        # HLO constant, which forces a device->host copy the tunneled TPU
+        # backend rejects (UNIMPLEMENTED) — and would bloat the program.
+        operands = {
+            "base_spectra": base_spectra,
+            "centers": centers_j,
+            "Ainv_x": jnp.asarray(_tps_system_inverse(pts_x), jnp.float32),
+            "Ainv_y": jnp.asarray(_tps_system_inverse(pts_y), jnp.float32),
+            "E_x": jnp.asarray(_tps_eval_matrix(pts_x, query), jnp.float32),
+            "E_y": jnp.asarray(_tps_eval_matrix(pts_y, query), jnp.float32),
+        }
+        tol = float(self.quality_tol)
+        clip = float(max_disp - 1)
+        extract = self._extract_windows
+
+        @jax.jit
+        def aligner_impl(data, ops):
+            gray = _to_gray(data)
+            windows = extract(gray, ops["centers"], win)
+            shifts, quality = jax.vmap(
+                lambda f, w: phase_correlation_prepared(f, w, win)
+            )(ops["base_spectra"], windows)
+            accept = (quality > tol)[:, None]
+            s = jnp.where(accept, shifts, 0.0)
+            vx = jnp.concatenate([s[:, 1], jnp.zeros(pad_x, jnp.float32)])
+            vy = jnp.concatenate([s[:, 0], jnp.zeros(pad_y, jnp.float32)])
+            dx = (ops["E_x"] @ (ops["Ainv_x"] @ vx)).reshape(CH, CW)
+            dy = (ops["E_y"] @ (ops["Ainv_y"] @ vy)).reshape(CH, CW)
+            field = jnp.stack([dy, dx], axis=0).astype(jnp.float32)
+            if (CH, CW) != (Hs, Ws):
+                field = jax.image.resize(field, (2, Hs, Ws), method="linear")
+            field = jnp.clip(field, -clip, clip)
+            # identity_grid traces to iota ops — free to rebuild per call,
+            # and it keeps a (2, H, W) constant out of the program.
+            coords = identity_grid((Hs, Ws)) - field
+            out = warp_backend(
+                data.astype(jnp.float32), coords, order=1, max_disp=max_disp
+            )
+            return out, shifts, quality
+
+        return lambda data: aligner_impl(data, operands)
+
+    def fused_align(self, img: Image, max_disp: int = 120) -> Image:
+        """Register ``img`` onto the base via the fused one-program lane."""
+        if getattr(self, "_fused_key", None) != max_disp:
+            self._fused_aligner = self.build_fused_aligner(max_disp=max_disp)
+            self._fused_key = max_disp
+        out, shifts, quality = self._fused_aligner(jnp.asarray(img.img))
+        _, centers = self._window_geometry()
+        self._ingest_shifts(
+            np.asarray(shifts), np.asarray(quality), centers
+        )
+        dtype = img.img.dtype
         if jnp.issubdtype(dtype, jnp.integer):
             out = jnp.round(out)
         result = img.copy()

@@ -374,7 +374,11 @@ class CurvatureCorrection(BaseCorrection):
         Xm, Ym = self._transform_coordinates(X, Y, **kwargs)
         coords = jnp.stack([Ym, Xm], axis=0)
         dtype = img.dtype
-        out = warp(img.astype(jnp.float32), coords, order=self.interpolation_order)
+        from ...ops.warp import warp_backend
+
+        out = warp_backend(
+            img.astype(jnp.float32), coords, order=self.interpolation_order
+        )
         if jnp.issubdtype(dtype, jnp.integer):
             out = jnp.round(out)
         return out.astype(dtype)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...image.image import Image
-from ...ops.warp import identity_grid, warp
+from ...ops.warp import identity_grid, warp_backend
 from ...utils.interpolation import rbf_interpolate
 
 __all__ = ["PiecewisePerspectiveTransform"]
@@ -72,7 +72,9 @@ class PiecewisePerspectiveTransform:
         )
         coords = identity_grid(shape) - field
         data = jnp.asarray(base.img).astype(jnp.float32)
-        out = warp(data, coords, order=1)
+        # dx/dy are concrete host arrays: the static Pallas bound is free.
+        max_disp = int(np.ceil(max(np.abs(dx).max(), np.abs(dy).max()))) + 1
+        out = warp_backend(data, coords, order=1, max_disp=max_disp)
         self.have_transform = True
         result = base.copy()
         result.img = out.astype(base.img.dtype)

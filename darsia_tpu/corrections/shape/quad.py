@@ -15,7 +15,7 @@ from warnings import warn
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.warp import perspective_grid, warp
+from ...ops.warp import perspective_grid, warp_backend
 from ...utils.point import VoxelArray
 
 __all__ = ["extract_quadrilateral_ROI", "homography_from_points", "quad_coordinate_grid"]
@@ -144,7 +144,7 @@ def extract_quadrilateral_ROI(
     coords = quad_coordinate_grid(pts_src_rc, (height, width), pts_dst_rc)
     order = 0 if interpolation == "inter_nearest" else 1
     dtype = img_src.dtype
-    out = warp(img_src.astype(jnp.float32), coords, order=order)
+    out = warp_backend(img_src.astype(jnp.float32), coords, order=order)
     if jnp.issubdtype(dtype, jnp.integer):
         out = jnp.round(out)
     return out.astype(dtype)

@@ -20,7 +20,7 @@ import numpy as np
 
 from ...ops.color import rgb_to_gray
 from ...ops.fft import phase_correlation
-from ...ops.warp import identity_grid, warp
+from ...ops.warp import identity_grid, warp_backend
 from ..base import BaseCorrection
 
 __all__ = ["TranslationEstimator", "TranslationCorrection"]
@@ -45,7 +45,11 @@ def translate_array(
     coords = identity_grid(spatial)
     coords = coords.at[0].add(-dy).at[1].add(-dx)
     dtype = img.dtype
-    out = warp(jnp.asarray(img).astype(jnp.float32), coords, order=order)
+    max_disp = int(np.ceil(max(abs(dx), abs(dy)))) + 1
+    out = warp_backend(
+        jnp.asarray(img).astype(jnp.float32), coords, order=order,
+        max_disp=max_disp,
+    )
     if jnp.issubdtype(dtype, jnp.integer):
         out = jnp.round(out)
     return out.astype(dtype)

@@ -165,6 +165,25 @@ def warp_backend(
         force: "pallas" / "xla" to override the automatic choice (tests).
 
     """
+    if (
+        max_disp is None
+        and force is None
+        and order == 1
+        and coords.shape[0] == 2
+        and data.ndim in (2, 3)
+        and jax.default_backend() == "tpu"
+        and not isinstance(coords, jax.core.Tracer)
+    ):
+        # Eager call with a concrete coordinate field: derive the static
+        # displacement bound with one cheap device reduction (~0.1 ms at 4K
+        # vs the ~130 ms saved by the Pallas lane).
+        import math
+
+        bound = float(
+            jnp.max(jnp.abs(coords - identity_grid(coords.shape[1:])))
+        )
+        if math.isfinite(bound):
+            max_disp = int(math.ceil(bound)) + 1
     use_pallas = force == "pallas" or (
         force is None
         and order == 1

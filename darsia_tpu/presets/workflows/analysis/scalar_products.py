@@ -1,17 +1,23 @@
-"""Scalar mass products + injected-mass rescaling.
+"""Scalar mass products + injected-mass rescaling, table-driven.
 
-Parity: reference ``presets/workflows/analysis/scalar_products.py:28-135``.
+Workflow analysis steps ask for quantities by mode string; this module
+renders the full product dict from a color-to-mass result, optionally
+rescaling detected mass onto the injection protocol's ground truth.
+Behavioral parity with the reference's
+``presets/workflows/analysis/scalar_products.py:28-135`` (same product
+keys and rescaling rule — both fixed by config/artifact compatibility);
+the tables are shared with :mod:`..mode_resolution` instead of repeated.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional
-
-import numpy as np
+from typing import Any
 
 from ....image.arithmetics import weight
+from ..mode_resolution import _MASS_FIELDS, _RESCALABLE, SCALAR_PRODUCT_MODES
 
+#: Detected-mass magnitudes below this are treated as zero (no rescaling).
 EPSILON = 1e-12
 
 __all__ = [
@@ -21,39 +27,37 @@ __all__ = [
     "requires_rescaled_modes",
 ]
 
-_RESCALED_MODES = {
-    "rescaled_mass",
-    "rescaled_saturation_g",
-    "rescaled_concentration_aq",
-}
+#: Quantities the expert-knowledge adapter knows how to constrain, and the
+#: adapter mode each maps to (rescaled variants share the base mode).
+_CONSTRAINABLE = ("concentration_aq", "saturation_g")
+
+
+def requires_rescaled_modes(modes) -> bool:
+    """True when any requested mode needs the injected-mass rescaling pass."""
+    return not SCALAR_PRODUCT_MODES.isdisjoint(modes or ())
+
+
+def _constrain(products: dict, adapter) -> dict:
+    """Run the expert-knowledge adapter over every constrainable product."""
+    if adapter is None:
+        return products
+    out = dict(products)
+    for base in _CONSTRAINABLE:
+        for key in (base, f"rescaled_{base}"):
+            img = out.get(key)
+            if img is not None:
+                out[key] = adapter.apply(img, base)
+    return out
 
 
 @dataclass
 class RescaledMassProducts:
+    """Rescaled mass-analysis result plus the scaling diagnostics."""
+
     rescaled_result: Any
     mass_scaling_factor: float
     detected_mass_total: float
     exact_mass_total: float
-
-
-def requires_rescaled_modes(modes) -> bool:
-    return bool(set(modes or []) & _RESCALED_MODES)
-
-
-def _apply_expert_knowledge_constraints(products: dict, adapter) -> dict:
-    if adapter is None:
-        return products
-    constrained = dict(products)
-    mode_map = {
-        "concentration_aq": "concentration_aq",
-        "saturation_g": "saturation_g",
-        "rescaled_concentration_aq": "concentration_aq",
-        "rescaled_saturation_g": "saturation_g",
-    }
-    for key, mode in mode_map.items():
-        if key in constrained and constrained[key] is not None:
-            constrained[key] = adapter.apply(constrained[key], mode)
-    return constrained
 
 
 def compute_rescaled_mass_products(
@@ -65,13 +69,19 @@ def compute_rescaled_mass_products(
     date=None,
     epsilon: float = EPSILON,
 ) -> RescaledMassProducts:
-    """Rescale the detected total mass onto the injected mass
-    (reference scalar_products.py:63-88)."""
+    """Rescale detected total mass onto the protocol's injected mass.
+
+    The scaling factor is exact/detected; the rescaled mass field is pushed
+    back through the inverse mass analysis so ALL derived quantities
+    (saturation, aqueous concentration) stay thermodynamically consistent
+    rather than being scaled independently.
+    """
     detected = float(geometry.integrate(mass_analysis_result.mass))
     exact = float(injection_protocol.injected_mass(date=date))
     factor = exact / detected if abs(detected) > epsilon else 1.0
-    rescaled_mass = weight(mass_analysis_result.mass, factor)
-    rescaled_result = co2_mass_analysis.inverse_mass_analysis(rescaled_mass)
+    rescaled_result = co2_mass_analysis.inverse_mass_analysis(
+        weight(mass_analysis_result.mass, factor)
+    )
     return RescaledMassProducts(
         rescaled_result=rescaled_result,
         mass_scaling_factor=factor,
@@ -90,26 +100,36 @@ def analysis_scalar_products(
     date=None,
     expert_knowledge_adapter=None,
 ):
-    """All base products + rescaled products when requested."""
+    """Render every base product, plus rescaled products when requested.
+
+    Returns ``(products, rescaled_info)`` where ``products`` maps each mode
+    string in ``mode_resolution._MASS_FIELDS`` (and, when requested, the
+    ``rescaled_*`` modes) to its scalar image, and ``rescaled_info`` is the
+    :class:`RescaledMassProducts` diagnostics or None.
+    """
     products = {
-        "concentration_aq": mass_analysis_result.concentration_aq,
-        "saturation_g": mass_analysis_result.saturation_g,
-        "mass_total": mass_analysis_result.mass,
-        "mass": mass_analysis_result.mass,
-        "mass_g": mass_analysis_result.mass_g,
-        "mass_aq": mass_analysis_result.mass_aq,
+        mode: getattr(mass_analysis_result, field)
+        for mode, field in _MASS_FIELDS.items()
     }
-    products = _apply_expert_knowledge_constraints(
-        products, expert_knowledge_adapter
-    )
-    requested = set(requested_modes or [])
-    if not requires_rescaled_modes(requested):
+    products = _constrain(products, expert_knowledge_adapter)
+
+    if not requires_rescaled_modes(requested_modes):
         return products, None
-    if geometry is None or injection_protocol is None or co2_mass_analysis is None:
-        raise ValueError(
-            "Rescaled modes requested but missing geometry/injection_protocol/"
-            "co2_mass_analysis."
+
+    missing = [
+        name
+        for name, obj in (
+            ("geometry", geometry),
+            ("injection_protocol", injection_protocol),
+            ("co2_mass_analysis", co2_mass_analysis),
         )
+        if obj is None
+    ]
+    if missing:
+        raise ValueError(
+            "Rescaled modes requested but missing " + "/".join(missing) + "."
+        )
+
     rescaled = compute_rescaled_mass_products(
         mass_analysis_result=mass_analysis_result,
         geometry=geometry,
@@ -117,12 +137,7 @@ def analysis_scalar_products(
         co2_mass_analysis=co2_mass_analysis,
         date=date,
     )
-    products["rescaled_mass"] = rescaled.rescaled_result.mass
-    products["rescaled_saturation_g"] = rescaled.rescaled_result.saturation_g
-    products["rescaled_concentration_aq"] = (
-        rescaled.rescaled_result.concentration_aq
-    )
-    products = _apply_expert_knowledge_constraints(
-        products, expert_knowledge_adapter
-    )
-    return products, rescaled
+    for q in _RESCALABLE:
+        field = _MASS_FIELDS[q]
+        products[f"rescaled_{q}"] = getattr(rescaled.rescaled_result, field)
+    return _constrain(products, expert_knowledge_adapter), rescaled

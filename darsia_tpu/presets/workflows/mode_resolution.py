@@ -1,6 +1,19 @@
-"""Shared resolution of analysis modes to scalar images.
+"""Analysis-mode strings -> scalar images, table-driven.
 
-Parity: reference ``presets/workflows/mode_resolution.py:14-170``.
+Workflow configs select what quantity a step operates on via a short mode
+string.  Three families exist (behavioral parity with the reference's
+``presets/workflows/mode_resolution.py:14-170``; the mode vocabulary is
+fixed by TOML-config compatibility):
+
+====================  =====================================================
+family                resolution
+====================  =====================================================
+mass/legacy           attribute lookup on a color-to-mass analysis result
+                      (``_MASS_FIELDS`` below)
+rescaled              precomputed scalar products, keyed ``rescaled_<q>``
+color embedding       ``[color.*.*]`` registry entry rendered through the
+                      embedding runtime
+====================  =====================================================
 """
 
 from __future__ import annotations
@@ -18,69 +31,63 @@ __all__ = [
     "resolve_mode_image",
 ]
 
-LEGACY_COLOR_TO_MASS_MODES = {
-    "concentration_aq",
-    "saturation_g",
-    "mass",
-    "mass_total",
-    "mass_g",
-    "mass_aq",
+# Single source of truth: mode string -> attribute of the color-to-mass
+# result object.  The public mode sets are derived views of this table.
+_MASS_FIELDS = {
+    "mass": "mass",
+    "mass_total": "mass",  # alias
+    "mass_g": "mass_g",
+    "mass_aq": "mass_aq",
+    "concentration_aq": "concentration_aq",
+    "saturation_g": "saturation_g",
 }
 
-SCALAR_PRODUCT_MODES = {
-    "rescaled_mass",
-    "rescaled_saturation_g",
-    "rescaled_concentration_aq",
-}
+_RESCALABLE = ("mass", "saturation_g", "concentration_aq")
+
+LEGACY_COLOR_TO_MASS_MODES = frozenset(_MASS_FIELDS)
+SCALAR_PRODUCT_MODES = frozenset(f"rescaled_{q}" for q in _RESCALABLE)
 
 
 @dataclass(frozen=True)
 class ColorEmbeddingMode:
+    """A ``color.<id>`` mode reference, pointing into the embedding registry."""
+
     name: str
 
 
 def parse_color_mode(mode: str) -> Optional[ColorEmbeddingMode]:
-    parts = mode.split(".")
-    if len(parts) != 2 or parts[0].lower() != "color":
-        return None
-    return ColorEmbeddingMode(name=parts[1].strip())
+    """Split ``"color.<id>"`` into its embedding id; None for other modes."""
+    prefix, dot, ident = mode.partition(".")
+    if dot and prefix.lower() == "color" and "." not in ident:
+        return ColorEmbeddingMode(name=ident.strip())
+    return None
+
+
+def _known_embedding(mode: str, registry) -> bool:
+    return registry is not None and mode in registry.embeddings
 
 
 def validate_mode_syntax(
     mode: str, color_embedding_registry=None, key: str = "mode"
 ) -> None:
+    """Raise ValueError unless ``mode`` belongs to a known family."""
     mode = mode.strip()
-    if mode in LEGACY_COLOR_TO_MASS_MODES or mode in SCALAR_PRODUCT_MODES:
-        return
-    if (
-        color_embedding_registry is not None
-        and mode in color_embedding_registry.embeddings
-    ):
-        return
-    raise ValueError(
-        f"Unsupported {key} {mode!r}. Supported: legacy mass modes, rescaled "
-        "modes, and color embedding ids from [color.*.*]."
+    known = (
+        mode in LEGACY_COLOR_TO_MASS_MODES
+        or mode in SCALAR_PRODUCT_MODES
+        or _known_embedding(mode, color_embedding_registry)
     )
+    if not known:
+        raise ValueError(
+            f"Unsupported {key} {mode!r}. Supported: legacy mass modes, "
+            "rescaled modes, and color embedding ids from [color.*.*]."
+        )
 
 
 def mode_requires_color_to_mass(mode: str) -> bool:
-    return mode.strip() in LEGACY_COLOR_TO_MASS_MODES or mode in SCALAR_PRODUCT_MODES
-
-
-def _resolve_legacy_mode(mode: str, mass_analysis_result: Any):
-    if mass_analysis_result is None:
-        raise ValueError(f"Mode {mode!r} requires color-to-mass results.")
-    attr = {
-        "mass": "mass",
-        "mass_total": "mass",
-        "mass_g": "mass_g",
-        "mass_aq": "mass_aq",
-        "concentration_aq": "concentration_aq",
-        "saturation_g": "saturation_g",
-    }.get(mode)
-    if attr is None:
-        raise ValueError(f"Unsupported legacy mode {mode!r}.")
-    return getattr(mass_analysis_result, attr)
+    """True when resolving ``mode`` needs a color-to-mass analysis result."""
+    mode = mode.strip()
+    return mode in LEGACY_COLOR_TO_MASS_MODES or mode in SCALAR_PRODUCT_MODES
 
 
 def resolve_mode_image(
@@ -91,21 +98,30 @@ def resolve_mode_image(
     color_embedding_runtime=None,
     scalar_products: Optional[dict] = None,
 ):
+    """Render the scalar image a mode string denotes.
+
+    Precedence: precomputed scalar product (rescaled family) -> mass-result
+    attribute (legacy family) -> color embedding.  ``image`` is only read by
+    the embedding family; the other two return previously computed fields.
+    """
     mode = mode.strip()
-    if scalar_products is not None and mode in scalar_products:
-        value = scalar_products[mode]
-        if value is not None:
-            return value
-    if mode in LEGACY_COLOR_TO_MASS_MODES:
-        return _resolve_legacy_mode(mode, mass_analysis_result)
-    if (
-        color_embedding_registry is not None
-        and mode in color_embedding_registry.embeddings
-    ):
+
+    precomputed = (scalar_products or {}).get(mode)
+    if precomputed is not None:
+        return precomputed
+
+    field = _MASS_FIELDS.get(mode)
+    if field is not None:
+        if mass_analysis_result is None:
+            raise ValueError(f"Mode {mode!r} requires color-to-mass results.")
+        return getattr(mass_analysis_result, field)
+
+    if _known_embedding(mode, color_embedding_registry):
         if color_embedding_runtime is None:
             raise ValueError(
                 "Color mode resolution requires a runtime with rig/baseline."
             )
         embedding = color_embedding_registry.resolve(mode)
         return embedding.to_scalar_image(image, color_embedding_runtime)
+
     raise ValueError(f"Unsupported analysis mode {mode!r}.")

@@ -121,3 +121,70 @@ def test_deformation_correction():
     )
     out = np.asarray(corr.correct_array(shifted))
     assert np.abs(out[16:-16, 16:-16] - base_arr[16:-16, 16:-16]).mean() < 0.02
+
+
+def test_displacement_field_coarse_matches_dense():
+    """The >1 Mpix coarse-TPS fast path must match dense evaluation.
+
+    Production images take the 1/16-grid + bilinear-upsample lane of
+    TranslationAnalysis.displacement_field; this pins it against the exact
+    dense evaluation on a synthetic smooth displacement.
+    """
+    base = da.ScalarImage(
+        np.zeros((192, 256), np.float32), width=1.0, height=1.0
+    )
+    analysis = da.TranslationAnalysis(base, N_patches=[2, 2], rel_overlap=0.1)
+    # Smooth synthetic displacement samples on a patch-like grid.
+    gy, gx = np.meshgrid(
+        np.linspace(10, 180, 5), np.linspace(10, 246, 7), indexing="ij"
+    )
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)  # (x, y)
+    vals_x = 3.0 * np.sin(gx.ravel() / 80.0)
+    vals_y = 2.0 * np.cos(gy.ravel() / 60.0)
+    analysis._displacement_data = (pts, vals_x, pts, vals_y)
+
+    dense = np.asarray(analysis.displacement_field((192, 256)))
+    analysis.COARSE_THRESHOLD = 0  # force the coarse lane (instance override)
+    coarse = np.asarray(analysis.displacement_field((192, 256)))
+    assert coarse.shape == dense.shape == (2, 192, 256)
+    scale = np.abs(dense).max()
+    assert np.abs(coarse - dense).mean() < 0.02 * scale
+    assert np.abs(coarse - dense).max() < 0.2 * scale
+
+
+def test_fused_aligner_matches_flexible_path():
+    """fused_align (one jitted program) must agree with the flexible
+    find_translation + translate_image path when all patches pass."""
+    base_arr = _textured_image(5)
+    shifted_arr = np.roll(base_arr, shift=(3, -4), axis=(0, 1))
+    base = da.ScalarImage(base_arr, width=1.0, height=1.0)
+    img = da.ScalarImage(shifted_arr, width=1.0, height=1.0)
+
+    flexible = da.TranslationAnalysis(
+        base, N_patches=[3, 4], rel_overlap=0.3, quality_tol=0.01
+    )
+    aligned_flex = flexible(img)
+
+    fused = da.TranslationAnalysis(
+        base, N_patches=[3, 4], rel_overlap=0.3, quality_tol=0.01
+    )
+    aligned_fused = fused.fused_align(img)
+
+    a = aligned_fused.as_numpy()[24:-24, 32:-32]
+    b = aligned_flex.as_numpy()[24:-24, 32:-32]
+    assert np.abs(a - b).mean() < 0.02
+    # Both recover the shift: interior close to base.
+    assert np.abs(a - base_arr[24:-24, 32:-32]).mean() < 0.05
+    # fused_align materializes the same state as find_translation.
+    assert fused.have_translation.any()
+    disp = fused.translation(np.array([[64.0, 48.0]]))
+    # Correction displacement is the negative shift: dx = -(-4) = +4.
+    assert abs(float(np.asarray(disp[0]).ravel()[0]) - 4) < 1.5
+    # Registration facade routes through the fused lane.
+    reg = da.ImageRegistration(
+        base, N_patches=[3, 4], rel_overlap=0.3, quality_tol=0.01, fused=True
+    )
+    aligned_facade = reg(img)
+    assert np.abs(
+        aligned_facade.as_numpy()[24:-24, 32:-32] - a
+    ).mean() < 1e-5
