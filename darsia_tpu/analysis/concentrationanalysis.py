@@ -233,16 +233,33 @@ class ConcentrationAnalysis:
                     if batched is None:
                         import jax
 
-                        in_axes = (
-                            (t_axis,)
-                            if self.base is None
-                            else (t_axis, None)
-                        )
-                        batched = self._fused_series = jax.jit(
-                            jax.vmap(
-                                self._fused, in_axes=in_axes, out_axes=t_axis
-                            )
-                        )
+                        # Batch over a LEADING axis, transposing inside the
+                        # jitted program: vmap with in_axes on the middle
+                        # time axis leaves every batched intermediate with
+                        # the (..., T, C) trailing layout, which TPU tiling
+                        # pads (minor dims (8, 3) -> (8, 128)) — measured
+                        # 13% slower per frame than single-frame dispatch.
+                        # Time-major batching matches the single-frame
+                        # layout per frame; the boundary transposes fuse
+                        # into the pipeline prologue/epilogue.
+                        fused_fn = self._fused
+                        if self.base is None:
+
+                            def batched_fn(data):
+                                tm = jnp.moveaxis(data, t_axis, 0)
+                                out = jax.vmap(fused_fn)(tm)
+                                return jnp.moveaxis(out, 0, t_axis)
+
+                        else:
+
+                            def batched_fn(data, base):
+                                tm = jnp.moveaxis(data, t_axis, 0)
+                                out = jax.vmap(
+                                    fused_fn, in_axes=(0, None)
+                                )(tm, base)
+                                return jnp.moveaxis(out, 0, t_axis)
+
+                        batched = self._fused_series = jax.jit(batched_fn)
                     if self.base is None:
                         concentration = batched(data)
                     else:
