@@ -100,7 +100,10 @@ def measure_public_api(base_u8: np.ndarray) -> dict:
     b = np.asarray(seq_img.img, dtype=np.float32)
     inner = (slice(8, -8), slice(8, -8))
     fuse_err = float(np.abs(a[inner] - b[inner]).mean())
-    if fused_img.shape != seq_img.shape or fuse_err > 2.0:  # uint8 scale
+    # Ratcheted threshold (VERDICT r3 weak #6): measured 0.02603 uint8
+    # levels across four recorded runs (PERF_HISTORY.jsonl) — 0.1 trips on
+    # a ~4x regression instead of the old 2.0 (75x headroom).
+    if fused_img.shape != seq_img.shape or fuse_err > 0.1:  # uint8 scale
         print(
             f"FUSED-CHAIN GATE FAILED: mean|fused-seq|={fuse_err}",
             file=sys.stderr,
@@ -480,7 +483,9 @@ def measure_end_to_end(n_frames: int = 6) -> dict:
     exact_probe = float(np.asarray(process(paths[0])))
     yuv_probe = float(np.asarray(process(paths[0], transfer="yuv420")))
     e2e_err = abs(yuv_probe - exact_probe)
-    if e2e_err > 0.01:  # concentration units; measured ~2e-4 on this content
+    # Ratcheted (VERDICT r3 weak #6): measured ~2e-4 on this content;
+    # 1e-3 trips on a ~5x regression instead of the old 0.01 (50x).
+    if e2e_err > 1e-3:  # concentration units
         print(
             f"YUV420 E2E GATE FAILED: |conc_yuv - conc_exact| = {e2e_err}",
             file=sys.stderr,
@@ -801,8 +806,9 @@ def main() -> None:
         # two-pass separable approximation on this curvature field
         # (mean 7.9e-4, p99.9 0.021, max 0.147 — spikes confined to
         # <0.01% of strong-gradient edge pixels; a broken kernel pushes
-        # the MEAN to ~0.1).
-        if not (gate_mean < 2e-3 and gate_p999 < 0.05 and gate_max < 0.5):
+        # the MEAN to ~0.1).  All three gates sit at ~2.5-3x the measured
+        # values (VERDICT r3 weak #6 ratchet).
+        if not (gate_mean < 2e-3 and gate_p999 < 0.05 and gate_max < 0.45):
             print(
                 "PALLAS GATE FAILED on TPU: "
                 f"mean|pallas-xla|={gate_mean}, p99.9={gate_p999}, "
