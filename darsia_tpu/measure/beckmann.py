@@ -336,11 +336,18 @@ class BeckmannProblem:
             m = shape[d] - 1
             k = np.arange(1, m + 1)
             lam = (a_d + c_d) + 2.0 * b_d * np.cos(np.pi * k / (m + 1))
-            # Degenerate rules (all points at t=0.5) drive lam -> 0; the
-            # clamp keeps the certificate valid (merely looser) there.
-            mass_inv_eigs.append(
-                jnp.asarray(1.0 / np.maximum(lam, 1e-12), self.dtype)
-            )
+            # A degenerate rule (all points at t=0.5) drives lam -> 0, and
+            # once the clamp engages the mass solve is no longer the exact
+            # inverse — the pairing identity breaks and the lower-bound
+            # guarantee is LOST, not loosened.  Fail loudly instead: every
+            # legitimate rule keeps lam well above this floor.
+            if lam.size and float(lam.min()) <= 1e-9:
+                raise ValueError(
+                    "Quadrature mass matrix is numerically singular along "
+                    f"axis {d} (min eigenvalue {float(lam.min()):.3e}); the "
+                    "dual certificate requires a non-degenerate rule."
+                )
+            mass_inv_eigs.append(jnp.asarray(1.0 / lam, self.dtype))
 
         def _dst1(x, axis):
             """Unnormalized type-I DST along ``axis`` (odd extension + FFT).
@@ -504,7 +511,12 @@ class BeckmannProblem:
             k = jnp.arange(m)
             ph = jnp.exp(1j * np.pi * k / (2 * m))
             pshape = [m if i == axis else 1 for i in range(X.ndim)]
-            Xc = X.astype(jnp.complex64) * jnp.reshape(ph, pshape)
+            cdtype = (
+                jnp.complex128
+                if jnp.dtype(self.dtype) == jnp.float64
+                else jnp.complex64
+            )
+            Xc = X.astype(cdtype) * jnp.reshape(ph, pshape).astype(cdtype)
             sl_rev = [slice(None)] * X.ndim
             sl_rev[axis] = slice(1, m)
             zshape = list(X.shape)
@@ -885,7 +897,7 @@ class BeckmannProblem:
         duality_gap].  The outer
         iteration, convergence checks, divergence state-restore, and
         per-iteration history run inside one ``lax.while_loop``; the host
-        fetches a single (num_iter, 4) buffer at the end.  On a relayed TPU
+        fetches a single (num_iter, 5) buffer at the end.  On a relayed TPU
         the per-iteration dispatch roundtrip (~0.1 s) otherwise dwarfs the
         ~3 ms compute of an MG-preconditioned step.
 
@@ -1791,6 +1803,7 @@ class BeckmannBregmanSolver(BeckmannProblem):
                 inc_sq = float(metrics[1])
                 flux_norm_sq = float(metrics[2])
                 residual_norm = float(metrics[3])
+                gap = float(metrics[4])
             else:
                 # u-step: (1/L) W M u - D^T p = (1/L) W M (d - b); D u = rhs.
                 db = tuple(d_aux[k] - b_aux[k] for k in range(self.dim))
@@ -1854,6 +1867,11 @@ class BeckmannBregmanSolver(BeckmannProblem):
                 )
                 div = bk.face_divergence(fluxes, self.face_vol, self.dim)
                 residual_norm = float(jnp.linalg.norm(div - mass_rhs))
+                # _dual_value rescales onto the feasibility boundary, so
+                # the Bregman-scaled pressure still yields a valid bound.
+                gap = (distance - float(self._dual_value(p, mass_rhs))) / max(
+                    distance, 1e-30
+                )
             flux_increment = float(np.sqrt(inc_sq))
             relative_flux_increment = flux_increment / max(
                 np.sqrt(flux_norm_sq), 1e-30
@@ -1865,6 +1883,7 @@ class BeckmannBregmanSolver(BeckmannProblem):
                 distance_increment=distance_inc,
                 residual=residual_norm,
                 increment=flux_increment,
+                duality_gap=gap,
                 timings={"total": time.time() - tic},
                 total_run_time=time.time() - tic,
             )
@@ -2210,6 +2229,7 @@ class BeckmannGproxPGHDSolver(BeckmannProblem):
                 distance_increment=distance_inc,
                 residual=div_res,
                 increment=flux_increment,
+                duality_gap=float(metrics[4]),
                 timings={"total": time.time() - tic},
                 total_run_time=time.time() - tic,
             )

@@ -227,10 +227,13 @@ def _sharded_jacobi_h1(
     """
     from ..utils.derivatives import fv_laplace
 
+    # The rhs halo is loop-invariant — exchange once; XLA will not hoist a
+    # ppermute collective out of the fori_loop body on its own.
+    rhs_ext = omega * halo_exchange(signal, 1, axis_name, axis=0)
+
     def sweep(_, x):
         x_ext = halo_exchange(x, 1, axis_name, axis=0)
-        s_ext = halo_exchange(signal, 1, axis_name, axis=0)
-        residual = omega * s_ext - (
+        residual = rhs_ext - (
             omega * x_ext - fv_laplace(x_ext, dim=2, h=1.0, diffusion_coeff=mu)
         )
         interior = lax.slice_in_dim(residual, 1, residual.shape[0] - 1, axis=0)
