@@ -147,6 +147,7 @@ from .analysis.imageregistration import (
     MultiscaleDiffeomorphicImageRegistration,
     ImageRegistration,
 )
+from .analysis.fusedpipeline import FusedAnalysisPipeline
 from .image.patches import Patches
 from .corrections.shape.piecewiseperspective import PiecewisePerspectiveTransform
 from .corrections.shape.deformation import DeformationCorrection

@@ -181,6 +181,23 @@ class ConcentrationAnalysis:
             else id(self.threshold_cleaning_filter),
         )
 
+    def pipeline_fn(self):
+        """The whole per-image pipeline as an UN-jitted traceable closure.
+
+        ``pipeline(data, reference=None) -> concentration`` — the exact
+        stage composition :meth:`__call__` runs, exposed so larger jitted
+        programs (:class:`~darsia_tpu.analysis.fusedpipeline.FusedAnalysisPipeline`,
+        :func:`~darsia_tpu.parallel.pipeline.sharded_production_pipeline`)
+        can inline it.
+        """
+        has_base = self.base is not None
+
+        def pipeline(data, reference=None):
+            diff = self._diff_arrays(data, reference if has_base else None)
+            return jnp.asarray(self._pipeline_stages(diff))
+
+        return pipeline
+
     def _fused_pipeline(self):
         """The whole per-image pipeline as ONE jitted program.
 
@@ -193,13 +210,7 @@ class ConcentrationAnalysis:
         """
         import jax
 
-        has_base = self.base is not None
-
-        def pipeline(data, reference=None):
-            diff = self._diff_arrays(data, reference if has_base else None)
-            return jnp.asarray(self._pipeline_stages(diff))
-
-        return jax.jit(pipeline)
+        return jax.jit(self.pipeline_fn())
 
     def __call__(self, img: Image) -> Image:
         """Extract concentration from a probe image."""

@@ -1,0 +1,301 @@
+"""The full production per-image path as ONE jitted XLA program.
+
+The staged public objects run the SURVEY §3.2 hot loop as separate
+dispatches — ``Image(transformations=[...])`` (fused correction warp),
+``ImageRegistration.__call__`` (fused aligner program), then
+``ConcentrationAnalysis.__call__`` (fused signal pipeline).  Each program is
+itself fused, but the seams cost extra HBM round-trips of full-resolution
+intermediates plus per-program dispatch latency.  This module compiles the
+whole path
+
+    raw frame -> correction chain warp -> registration (batched FFT phase
+    correlation + prefactored TPS + warp) -> concentration pipeline
+
+into a single program: XLA sees every stage at once, fuses the elementwise
+seams, and the per-frame cost approaches the hand-fused headline bench
+(reference seam: the per-image loop of
+``src/darsia/multi_image_analysis/concentrationanalysis.py:153-216`` driven
+by ``presets/workflows/rig.py`` reads + corrections).
+
+The pipeline is built FROM the public objects — the same correction
+instances, the same :class:`~darsia_tpu.analysis.ImageRegistration`, the
+same :class:`~darsia_tpu.analysis.ConcentrationAnalysis` — so calibration
+state, displacement introspection (``registration.displacement()``), and
+model parameters all keep working; the object composition only changes how
+the per-frame computation is dispatched.
+
+Semantics match the staged path exactly for all-geometric correction chains
+(the staged lane quantizes integer images after the correction warp; the
+fused program reproduces that round) — asserted by
+``tests/unit/test_fusedpipeline.py`` and gated in ``bench.py`` before any
+timing is reported.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..corrections.fuse import _collect_group, fused_chain
+from ..image.image import Image, ScalarImage
+from ..utils.dtype import convert_dtype
+
+__all__ = ["FusedAnalysisPipeline"]
+
+
+def _resolve_translation_analysis(registration):
+    """TranslationAnalysis behind any public registration facade."""
+    if registration is None:
+        return None
+    engine = getattr(registration, "_engine", registration)
+    return getattr(engine, "translation_analysis", engine)
+
+
+class FusedAnalysisPipeline:
+    """correct + register + concentrate as one compiled program.
+
+    Args:
+        transformations: the correction chain (same list
+            ``Image(transformations=...)`` takes).  Maximal runs of fusable
+            geometric corrections execute as one warp; any other correction
+            must have a jit-compatible ``correct_array`` (the base-class
+            contract) and is traced inline.
+        registration: optional :class:`~darsia_tpu.analysis.ImageRegistration`
+            (or ``DiffeomorphicImageRegistration`` / ``TranslationAnalysis``).
+            Multiscale engines are not fusable — pass the single-scale one.
+        analysis: optional :class:`~darsia_tpu.analysis.ConcentrationAnalysis`
+            whose pipeline must be traceable (no verbose inspection, no
+            host-side restoration).
+        max_disp: static displacement bound for the registration warp.
+
+    Call with an :class:`~darsia_tpu.image.Image` (or a raw array of the
+    same shape) — returns the concentration image.  Time-series inputs run
+    the SAME per-frame program vmapped over a leading time axis in one
+    dispatch.
+    """
+
+    def __init__(
+        self,
+        transformations: Optional[Sequence] = None,
+        registration=None,
+        analysis=None,
+        max_disp: int = 120,
+    ) -> None:
+        self.transformations = [
+            t for t in (transformations or []) if t is not None and callable(t)
+        ]
+        self.registration = registration
+        self.analysis = analysis
+        self.max_disp = int(max_disp)
+        self._translation_analysis = _resolve_translation_analysis(registration)
+        if registration is not None and self._translation_analysis is None:
+            raise ValueError("registration exposes no TranslationAnalysis")
+        self._cache: dict = {}
+
+    # ------------------------------------------------------------- building
+
+    def _stage_plan(self, input_shape: tuple) -> tuple:
+        """Group the transformation list into traceable stages.
+
+        Returns ``(stages, out_meta)``: stages are ``("chain", chain)`` for
+        fused warp runs and ``("op", correction)`` otherwise; ``out_meta``
+        accumulates the corrections' metadata updates.
+        """
+        chain = self.transformations
+        stages, meta = [], {}
+        shape = tuple(int(s) for s in input_shape)
+        i = 0
+        while i < len(chain):
+            j = _collect_group(chain, i)
+            if j - i >= 1 and (
+                j - i >= 2
+                or hasattr(chain[i], "pullback_field")
+                or hasattr(chain[i], "pullback_translation")
+            ):
+                fused = fused_chain(chain[i:j], shape)
+                stages.append(("chain", fused))
+                shape = tuple(fused.out_shape)
+                meta.update(fused.correct_metadata())
+                i = j
+            else:
+                stages.append(("op", chain[i]))
+                meta.update(chain[i].correct_metadata(meta) or {})
+                i += 1
+        return stages, meta
+
+    def _build(self, input_shape: tuple, input_dtype, series: bool):
+        """Compile the full-path program for one input signature."""
+        dtype = np.dtype(input_dtype)
+        stages, _ = self._stage_plan(input_shape)
+
+        # Operands travel as jit ARGUMENTS (closure jax.Arrays would embed
+        # as HLO constants, which relayed TPU backends reject and which
+        # bloat the program) — same rule as build_fused_aligner.
+        operands: dict = {}
+        for k, (kind, obj) in enumerate(stages):
+            if kind == "chain":
+                operands[f"field_{k}"] = jnp.asarray(obj.field, jnp.float32)
+
+        ta = self._translation_analysis
+        aligner_body = None
+        if ta is not None:
+            aligner_body, reg_ops = ta.fused_aligner_parts(
+                max_disp=self.max_disp
+            )
+            operands["reg"] = reg_ops
+
+        analysis_fn = None
+        has_base = False
+        if self.analysis is not None:
+            analysis_fn = self.analysis.pipeline_fn()
+            has_base = self.analysis.base is not None
+            if has_base:
+                operands["base"] = jnp.asarray(
+                    self.analysis.base.img, jnp.float32
+                )
+
+        stage_fns = [
+            (kind, obj, obj.apply_fn(dtype) if kind == "chain" else None)
+            for kind, obj in stages
+        ]
+
+        def frame(data, ops):
+            x = data
+            for k, (kind, obj, chain_apply) in enumerate(stage_fns):
+                if kind == "chain":
+                    x = chain_apply(x, ops[f"field_{k}"])
+                else:
+                    x = obj.correct_array(x)
+            # img_as(float32): the staged lane converts the corrected image
+            # before registration/analysis (integer ranges map to [0, 1]).
+            x = convert_dtype(x, np.float32)
+            shifts = quality = None
+            if aligner_body is not None:
+                x, shifts, quality = aligner_body(x, ops["reg"])
+            if analysis_fn is not None:
+                out = (
+                    analysis_fn(x, ops["base"]) if has_base else analysis_fn(x)
+                )
+            else:
+                out = x
+            return out, shifts, quality
+
+        if series:
+
+            def program(data, ops):
+                # Time-major batching: vmap over a LEADING axis keeps every
+                # frame in the single-frame layout (trailing (T, C) minor
+                # dims would pad TPU tiles); the boundary transposes fuse
+                # into the program prologue/epilogue.
+                t_axis = data.ndim - 2  # (.., T, C) input layout
+                tm = jnp.moveaxis(data, t_axis, 0)
+                out, shifts, quality = jax.vmap(
+                    frame, in_axes=(0, None)
+                )(tm, ops)
+                out = jnp.moveaxis(out, 0, out.ndim - 1)
+                return out, shifts, quality
+
+        else:
+            program = frame
+
+        return jax.jit(program), operands
+
+    # -------------------------------------------------------------- calling
+
+    def _signature(self, arr, series: bool) -> tuple:
+        versions = tuple(
+            (id(t), getattr(t, "_fusion_version", 0))
+            for t in self.transformations
+        )
+        analysis_fp = (
+            None
+            if self.analysis is None
+            else self.analysis._pipeline_fingerprint()
+        )
+        ta = self._translation_analysis
+        reg_fp = (
+            None
+            if ta is None
+            else (
+                id(ta.base.img),
+                tuple(ta.N_patches),
+                ta.rel_overlap,
+                ta.quality_tol,
+            )
+        )
+        return (
+            arr.shape,
+            np.dtype(arr.dtype).str,
+            series,
+            versions,
+            analysis_fp,
+            reg_fp,
+        )
+
+    def __call__(self, image) -> Image:
+        is_image = isinstance(image, Image)
+        arr = jnp.asarray(image.img if is_image else image)
+        series = bool(image.series) if is_image else arr.ndim == 4
+
+        key = self._signature(arr, series)
+        entry = self._cache.get(key)
+        if entry is None:
+            if len(self._cache) >= 4:
+                self._cache.pop(next(iter(self._cache)))
+            entry = self._cache[key] = self._build(
+                tuple(arr.shape[:2]), arr.dtype, series
+            )
+        program, operands = entry
+
+        conc, shifts, quality = program(arr, operands)
+
+        # Keep the registration object's displacement introspection live
+        # without a host sync: stage the device shifts, materialize lazily.
+        ta = self._translation_analysis
+        if ta is not None and shifts is not None:
+            s = shifts[-1] if series else shifts
+            q = quality[-1] if series else quality
+            _, centers = ta._window_geometry()
+            ta._stage_shifts(s, q, centers)
+
+        return self._package(conc, image, series)
+
+    def _package(self, concentration: jnp.ndarray, image, series: bool) -> Image:
+        meta = self._output_metadata(image)
+        if series:
+            meta["series"] = True
+        out_type = (
+            ScalarImage
+            if concentration.ndim == 2 + int(series)
+            else (type(image) if isinstance(image, Image) else Image)
+        )
+        return out_type(concentration, **meta)
+
+    def _output_metadata(self, image) -> dict:
+        """Corrected-space metadata for the output image.
+
+        The output lives on the corrected grid — the geometry of the
+        analysis/registration baseline when one exists, else the input
+        metadata updated by the corrections' metadata changes.
+        """
+        if self.analysis is not None and self.analysis.base is not None:
+            meta = self.analysis.base.metadata()
+        elif self._translation_analysis is not None:
+            meta = self._translation_analysis.base.metadata()
+        elif isinstance(image, Image):
+            meta = image.metadata()
+            _, updates = self._stage_plan(tuple(image.shape[:2]))
+            meta.update(updates)
+        else:
+            raise ValueError(
+                "Raw-array input needs a baseline-bearing analysis or "
+                "registration to supply output metadata."
+            )
+        meta.pop("series", None)
+        if isinstance(image, Image) and image.series:
+            meta["time"] = image.time
+            meta["date"] = image.date
+        return meta

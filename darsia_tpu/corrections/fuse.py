@@ -135,6 +135,12 @@ class FusedCorrectionChain(BaseCorrection):
         program costs one."""
         import jax
 
+        return jax.jit(self.apply_fn(dtype))
+
+    def apply_fn(self, dtype):
+        """UN-jitted traceable ``apply(img, field) -> corrected`` for
+        ``dtype`` inputs — inlineable into larger jitted programs
+        (:class:`~darsia_tpu.analysis.fusedpipeline.FusedAnalysisPipeline`)."""
         dynamic = self._dynamic
         bound = (
             None
@@ -160,7 +166,7 @@ class FusedCorrectionChain(BaseCorrection):
                 out = jnp.round(out)
             return out.astype(dtype)
 
-        return jax.jit(apply)
+        return apply
 
     def correct_array(self, img: jnp.ndarray) -> jnp.ndarray:
         img = jnp.asarray(img)

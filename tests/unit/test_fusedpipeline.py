@@ -1,0 +1,157 @@
+"""FusedAnalysisPipeline: one-program full path == staged public path.
+
+The composite program (correction warp -> fused registration -> fused
+concentration pipeline, ``analysis/fusedpipeline.py``) must reproduce the
+staged lane — ``Image(transformations=...)`` -> ``ImageRegistration`` ->
+``ConcentrationAnalysis`` — bit-for-bit up to float tolerance, because it
+traces the SAME public objects' stage functions.
+"""
+
+import numpy as np
+import pytest
+
+import darsia_tpu as da
+from darsia_tpu.utils.linear_solvers import Jacobi
+
+
+def _scene(shape=(96, 128), seed=0):
+    """Textured uint8 RGB scene + correction chain + analysis objects."""
+    rng = np.random.default_rng(seed)
+    import jax.numpy as jnp
+
+    from darsia_tpu.restoration.averaging import uniform_filter
+
+    layers = []
+    for c in range(3):
+        smooth = np.asarray(
+            uniform_filter(jnp.asarray(rng.random(shape, np.float32)), 7)
+        )
+        smooth = (smooth - smooth.min()) / (smooth.max() - smooth.min())
+        layers.append(smooth)
+    base_u8 = (np.stack(layers, axis=-1) * 255).astype(np.uint8)
+
+    H, W = shape
+    curv = da.CurvatureCorrection(
+        config={
+            "crop": {
+                "pts_src": [[2, 3], [H - 4, 2], [H - 3, W - 3], [2, W - 4]],
+                "width": 1.0,
+                "height": 1.0,
+            },
+            "bulge": {"horizontal_bulge": -1e-7, "vertical_bulge": -2e-7},
+        }
+    )
+    trans = da.TranslationCorrection([1.0, -2.0])
+    meta = {"width": 1.0, "height": 1.0}
+    base_img = da.OpticalImage(
+        base_u8, transformations=[trans, curv], **meta
+    ).img_as(np.float32)
+    analysis = da.ConcentrationAnalysis(
+        base=base_img,
+        signal_reduction=da.MonochromaticReduction(color="gray"),
+        restoration=lambda s: da.H1_regularization(
+            s, mu=1.0, omega=0.2, dim=2, solver=Jacobi(maxiter=5)
+        ),
+        model=da.LinearModel(scaling=2.0),
+        **{"diff option": "positive"},
+    )
+    return base_u8, trans, curv, meta, base_img, analysis
+
+
+class TestFusedFullPath:
+    def test_matches_staged_path(self):
+        base_u8, trans, curv, meta, base_img, analysis = _scene()
+        probe = np.roll(base_u8, shift=(1, 2), axis=(0, 1))
+
+        reg_staged = da.ImageRegistration(
+            base_img, N_patches=[2, 2], rel_overlap=0.2, quality_tol=0.01
+        )
+        img = da.OpticalImage(probe, transformations=[trans, curv], **meta)
+        registered = reg_staged(img.img_as(np.float32))
+        staged = np.asarray(analysis(registered).img)
+
+        reg_fused = da.ImageRegistration(
+            base_img, N_patches=[2, 2], rel_overlap=0.2, quality_tol=0.01
+        )
+        pipe = da.FusedAnalysisPipeline(
+            transformations=[trans, curv],
+            registration=reg_fused,
+            analysis=analysis,
+        )
+        fused = pipe(da.OpticalImage(probe, **meta))
+        assert isinstance(fused, da.ScalarImage)
+        assert fused.img.shape == staged.shape
+        assert np.allclose(np.asarray(fused.img), staged, atol=1e-4)
+        # Output geometry is the corrected space.
+        assert np.allclose(fused.dimensions, base_img.dimensions)
+
+    def test_raw_array_input_and_displacement_state(self):
+        base_u8, trans, curv, meta, base_img, analysis = _scene(seed=3)
+        probe = np.roll(base_u8, shift=(2, 1), axis=(0, 1))
+
+        reg = da.ImageRegistration(
+            base_img, N_patches=[2, 2], rel_overlap=0.2, quality_tol=0.01
+        )
+        pipe = da.FusedAnalysisPipeline(
+            transformations=[trans, curv], registration=reg, analysis=analysis
+        )
+        out = pipe(probe)  # raw array: metadata from the analysis baseline
+        assert out.img.shape == tuple(base_img.num_voxels[:2])
+        # The registration object's introspection stays live (lazily
+        # materialized from the staged device shifts, no eager host sync).
+        disp = reg.displacement()
+        assert disp.shape == (2, *base_img.num_voxels[:2])
+        assert np.isfinite(disp).all()
+
+    def test_correction_only_pipeline(self):
+        base_u8, trans, curv, meta, base_img, analysis = _scene(seed=5)
+        probe = np.roll(base_u8, shift=(1, 1), axis=(0, 1))
+
+        pipe = da.FusedAnalysisPipeline(
+            transformations=[trans, curv], analysis=analysis
+        )
+        fused = np.asarray(pipe(da.OpticalImage(probe, **meta)).img)
+        staged_img = da.OpticalImage(
+            probe, transformations=[trans, curv], **meta
+        )
+        staged = np.asarray(analysis(staged_img.img_as(np.float32)).img)
+        assert np.allclose(fused, staged, atol=1e-4)
+
+    def test_series_matches_per_frame(self):
+        base_u8, trans, curv, meta, base_img, analysis = _scene(seed=7)
+        T = 3
+        series = np.stack(
+            [
+                np.roll(base_u8, shift=(1 + k, 2), axis=(0, 1))
+                for k in range(T)
+            ],
+            axis=2,
+        )  # (H, W, T, C)
+
+        reg = da.ImageRegistration(
+            base_img, N_patches=[2, 2], rel_overlap=0.2, quality_tol=0.01
+        )
+        pipe = da.FusedAnalysisPipeline(
+            transformations=[trans, curv], registration=reg, analysis=analysis
+        )
+        out = pipe(da.OpticalImage(series, series=True, **meta))
+        assert out.series
+        arr = np.asarray(out.img)
+        assert arr.shape[-1] == T
+
+        for k in range(T):
+            single = np.asarray(
+                pipe(da.OpticalImage(series[:, :, k], **meta)).img
+            )
+            assert np.allclose(arr[..., k], single, atol=1e-4)
+
+    def test_retraces_on_model_update(self):
+        base_u8, trans, curv, meta, base_img, analysis = _scene(seed=9)
+        probe = np.roll(base_u8, shift=(1, 2), axis=(0, 1))
+        pipe = da.FusedAnalysisPipeline(
+            transformations=[trans, curv], analysis=analysis
+        )
+        first = np.asarray(pipe(da.OpticalImage(probe, **meta)).img)
+        analysis.model.update_model_parameters(np.array([4.0, 0.0]))
+        second = np.asarray(pipe(da.OpticalImage(probe, **meta)).img)
+        assert np.allclose(second, 2.0 * first, atol=1e-5)
