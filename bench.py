@@ -222,12 +222,24 @@ def measure_public_api(base_u8: np.ndarray) -> dict:
     series_elapsed = (time.perf_counter() - tic) / series_reps
     series_mpix_s = T * H * W / 1e6 / series_elapsed
 
+    # Full-path series: the fused pipeline's time-major vmapped lane —
+    # correction + registration + concentration for all 8 frames in ONE
+    # device dispatch.
+    float(np.asarray(pipeline(series_dev).img[0, 0, 0]))
+    tic = time.perf_counter()
+    for _ in range(series_reps):
+        conc_series_full = pipeline(series_dev)
+    float(np.asarray(conc_series_full.img[0, 0, 0]))
+    series_full_elapsed = (time.perf_counter() - tic) / series_reps
+    series_full_mpix_s = T * H * W / 1e6 / series_full_elapsed
+
     return {
         "public_api_mpix_s": round(mpix_s, 2),
         "public_api_full_path_mpix_s": round(full_mpix_s, 2),
         "public_api_full_path_staged_mpix_s": round(staged_mpix_s, 2),
         "public_api_full_path_gate_err": round(full_gate_err, 6),
         "public_api_series8_mpix_s": round(series_mpix_s, 2),
+        "public_api_series8_full_path_mpix_s": round(series_full_mpix_s, 2),
         "public_api_fuse_err": round(fuse_err, 5),
     }
 
@@ -540,6 +552,24 @@ def measure_end_to_end(n_frames: int = 6) -> dict:
         assert len(vals) == len(paths)
         return time.perf_counter() - tic
 
+    # Independent link-speed measurement (pure upload + sync of a ~16 MB
+    # buffer, best of 2): lets the loader rows be read as a fraction of
+    # the wire instead of raw seconds — tunnel bandwidth swings 7-50 MB/s
+    # between sessions, so raw times are not comparable across history
+    # (VERDICT r4 weak #5: annotate the environment).
+    import jax.numpy as _jnp
+
+    probe_buf = np.random.default_rng(1).integers(
+        0, 255, size=(16 * 1024 * 1024,), dtype=np.uint8
+    )
+    float(np.asarray(_jnp.asarray(probe_buf[:1024])[0]))  # compile sync path
+    link = float("inf")
+    for _ in range(2):
+        tic = time.perf_counter()
+        dev = _jnp.asarray(probe_buf)
+        float(np.asarray(dev[-1]))
+        link = min(link, probe_buf.nbytes / 1e6 / (time.perf_counter() - tic))
+
     # The tunneled link's bandwidth is noisy (measured 7-42 MB/s swings);
     # min-of-2 per mode keeps the row comparable across runs.
     seq = min(run_sequential(), run_sequential())
@@ -549,14 +579,20 @@ def measure_end_to_end(n_frames: int = 6) -> dict:
     )
     shutil.rmtree(work, ignore_errors=True)
     n = len(paths)
+    achieved_mb_s = n * H * W * 3 / 1e6 / pre
     return {
         "loader_sequential_s": round(seq, 2),
         "loader_prefetched_s": round(pre, 2),
         "loader_prefetch_speedup": round(seq / pre, 2),
+        "loader_reps": 2,
         "end_to_end_mpix_s": round(n * mpix / pre, 2),
         "end_to_end_yuv420_mpix_s": round(n * mpix / pre_yuv, 2),
         "end_to_end_yuv420_err": round(e2e_err, 6),
-        "link_mb_s": round(n * H * W * 3 / 1e6 / pre, 1),
+        "link_mb_s": round(link, 1),
+        # Fraction of the measured wire the exact-transfer loader achieves
+        # (3 B/px on the wire): ~1.0 = wire-limited, the design ceiling on
+        # a tunneled chip.  Comparable across sessions, unlike seconds.
+        "loader_wire_fraction": round(achieved_mb_s / max(link, 1e-9), 2),
     }
 
 
@@ -587,11 +623,16 @@ run = lambda: dt.split_bregman_tvd(img, mu=10.0, ell=1.0,
 # and must not land inside the timed section).  block_until_ready does
 # not reliably wait under the relay, so the probe fetch IS the sync.
 float(np.asarray(run()[0, 0]))
+# 10 async passes, one sync: a single ~78 ms pass moved 25% on one RPC
+# hiccup of the relayed backend (VERDICT r4 weak #5); ten amortize it.
+reps = 10
 t0 = time.perf_counter()
-out = run()
+for _ in range(reps):
+    out = run()
 float(np.asarray(out[0, 0]))
-el = time.perf_counter() - t0
-print(json.dumps({"tvd_512_iters_per_s": round(iters/el, 2)}))
+el = (time.perf_counter() - t0) / reps
+print(json.dumps({"tvd_512_iters_per_s": round(iters/el, 2),
+                  "tvd_512_reps": reps}))
 """
     try:
         proc = subprocess.run(
@@ -607,6 +648,85 @@ print(json.dumps({"tvd_512_iters_per_s": round(iters/el, 2)}))
     except (subprocess.TimeoutExpired, OSError, json.JSONDecodeError):
         pass
     return {}
+
+
+#: Rows gated against trailing history (throughput metrics that are stable
+#: across sessions once 10+-rep timed).  Loader/e2e rows are exempt: the
+#: tunnel link swings 7-50 MB/s between sessions (loader_wire_fraction is
+#: their session-independent health metric).
+_DRIFT_GATED = {
+    "value",
+    "public_api_mpix_s",
+    "public_api_full_path_mpix_s",
+    "public_api_series8_mpix_s",
+    "tvd_512_iters_per_s",
+    "w1_batch8_256_pairs_per_s",
+}
+
+
+def _flat_metrics(payload: dict) -> dict:
+    flat = {"value": payload.get("value")}
+    for k, v in payload.get("extra", {}).items():
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            flat[k] = float(v)
+    return {k: v for k, v in flat.items() if v is not None}
+
+
+def check_drift(payload: dict, history_path: Path = HISTORY_PATH) -> bool:
+    """Print a drift table vs the trailing-5 history median; gate regressions.
+
+    Throughput rows in ``_DRIFT_GATED`` FAIL the run when they regress
+    below 0.5x their trailing median (override:
+    ``DARSIA_BENCH_ALLOW_DRIFT=1``); every row warns outside [0.75, 1.33]x.
+    Improvements never fail — only regressions are gated (VERDICT r4
+    weak #5: a real perf regression must not be indistinguishable from
+    tunnel weather).
+    """
+    import os
+
+    try:
+        rows = [
+            json.loads(line)
+            for line in history_path.read_text().strip().splitlines()
+        ]
+    except (OSError, json.JSONDecodeError):
+        return True
+    trailing = [_flat_metrics(r) for r in rows[-5:]]
+    current = _flat_metrics(payload)
+    failures = []
+    lines = []
+    for name, value in sorted(current.items()):
+        past = [t[name] for t in trailing if name in t]
+        if len(past) < 2:
+            continue
+        med = float(np.median(past))
+        if med == 0:
+            continue
+        ratio = value / med
+        flag = ""
+        if ratio < 0.75 or ratio > 1.33:
+            flag = "WARN"
+        if name in _DRIFT_GATED and ratio < 0.5:
+            flag = "FAIL"
+            failures.append(name)
+        if flag:
+            lines.append(
+                f"  {flag:4s} {name}: {value:g} vs median {med:g} "
+                f"({ratio:.2f}x, n={len(past)})"
+            )
+    if lines:
+        print("# drift vs trailing-5 median:", file=sys.stderr)
+        for line in lines:
+            print(line, file=sys.stderr)
+    if failures and os.environ.get("DARSIA_BENCH_ALLOW_DRIFT") != "1":
+        print(
+            f"DRIFT GATE FAILED: {failures} regressed below 0.5x the "
+            "trailing median (set DARSIA_BENCH_ALLOW_DRIFT=1 after an "
+            "environment change)",
+            file=sys.stderr,
+        )
+        return False
+    return True
 
 
 def _record_history(payload: dict) -> None:
@@ -894,6 +1014,7 @@ def main() -> None:
         raise
     except Exception as exc:  # never let the loader row stall the bench
         print(f"end-to-end row skipped: {exc}", file=sys.stderr)
+    extra["headline_reps"] = reps
     payload = {
         "metric": "Mpix/s corrected+registered+concentration (4K image)",
         "value": round(mpix_s, 2),
@@ -901,8 +1022,11 @@ def main() -> None:
         "vs_baseline": round(mpix_s / TARGET_MPIX_S, 3),
         "extra": extra,
     }
+    ok = check_drift(payload)
     _record_history(payload)
     print(json.dumps(payload))
+    if not ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

