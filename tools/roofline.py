@@ -44,14 +44,23 @@ from darsia_tpu.utils.interpolation import _tps_kernel  # noqa: E402
 REPS = 30
 
 
+def _sync(out) -> None:
+    """Fetch ONE scalar (device-side slice first: a full-array fetch costs
+    seconds over the tunneled link and complex arrays cannot transfer)."""
+    probe = out.ravel()[0]
+    if jnp.iscomplexobj(probe):
+        probe = jnp.real(probe)
+    _ = float(np.asarray(probe))
+
+
 def _time(fn, *args) -> float:
     """Steady-state seconds per call (async dispatches + one scalar sync)."""
     out = fn(*args)
-    _ = float(np.asarray(out).ravel()[0])  # compile + sync
+    _sync(out)  # compile + sync
     tic = time.perf_counter()
     for _ in range(REPS):
         out = fn(*args)
-    _ = float(np.asarray(out).ravel()[0])
+    _sync(out)
     return (time.perf_counter() - tic) / REPS
 
 
@@ -261,7 +270,7 @@ def main() -> None:
         jnp.tensordot(GRAY_W, base_corrected, axes=([0], [0]))
     )
     base_spectra = jax.vmap(prepare_phase_reference)(base_windows)
-    _ = float(np.asarray(base_spectra).ravel()[0].real)
+    _sync(base_spectra)
 
     probe = np.moveaxis(np.roll(base_u8, shift=(2, 3), axis=(0, 1)), -1, 0)
     probe_dev = jnp.asarray(probe)
