@@ -385,3 +385,64 @@ def test_duality_gap_weighted_validity():
     )
     assert info["duality_gap"] >= -1e-4
     assert info["duality_gap"] < 0.5  # 10x10 grid: coarse but bounded
+
+
+def test_dual_value_exact_gauge():
+    """The exact-gauge certificate (free quadrature representatives,
+    shrinking-radius POCS) is a valid lower bound and at least as tight
+    as the restricted certificate on rough potentials."""
+    from darsia_tpu.measure.beckmann import BeckmannNewtonSolver
+    from darsia_tpu.utils.grid import generate_grid
+
+    src_img, dst_img = _gaussian_problem(64)
+    solver = BeckmannNewtonSolver(
+        generate_grid(dst_img),
+        options={"num_iter": 200, "tol_increment": 1e-6,
+                 "tol_distance": 1e-6},
+    )
+    import jax.numpy as jnp
+
+    mass_diff = jnp.asarray(
+        np.asarray(dst_img.img) - np.asarray(src_img.img), jnp.float32
+    )
+    distance, fluxes, pressure, _ = solver.solve_beckmann_problem(mass_diff)
+    restricted = solver.dual_value(pressure, mass_diff, refine=False)
+    exact = solver.dual_value_exact(pressure, mass_diff, rounds=8, block=60)
+    distance = float(distance)
+    # Valid lower bounds...
+    assert exact <= distance * (1 + 1e-4)
+    assert restricted <= distance * (1 + 1e-4)
+    # ...and the free-representative family can only certify tighter.
+    assert exact >= restricted - 1e-6
+
+
+def test_duality_gap_adaptive_polish():
+    """polish_target drives chunked CP ascent until target/stall; the
+    result is at least as tight as a single fixed chunk."""
+    from darsia_tpu.measure.beckmann import BeckmannNewtonSolver
+    from darsia_tpu.utils.grid import generate_grid
+
+    src_img, dst_img = _gaussian_problem(64)
+    solver = BeckmannNewtonSolver(
+        generate_grid(dst_img),
+        options={"num_iter": 300, "tol_increment": 1e-10},
+    )
+    import jax.numpy as jnp
+
+    mass_diff = jnp.asarray(
+        np.asarray(dst_img.img) - np.asarray(src_img.img), jnp.float32
+    )
+    distance, fluxes, pressure, _ = solver.solve_beckmann_problem(mass_diff)
+    gap_single = solver.duality_gap(
+        fluxes, pressure, mass_diff, polish_iters=100
+    )
+    gap_adaptive = solver.duality_gap(
+        fluxes,
+        pressure,
+        mass_diff,
+        polish_iters=100,
+        polish_target=1e-4,
+        polish_max_iters=600,
+    )
+    assert gap_adaptive <= gap_single + 1e-6
+    assert gap_adaptive >= -1e-4

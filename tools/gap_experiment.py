@@ -70,19 +70,20 @@ def main() -> None:
 
     mass_rhs = solver.cell_vol * jnp.asarray(mass_diff, solver.dtype)
 
-    # -- (a) dual side: chunked warm-started CP polish until stall ---------
+    # -- (a) dual side: adaptive chunked CP polish (persistent carry) ------
     dual_raw = solver.dual_value(pressure, mass_diff, refine=True)
     print(f"dual (blur sweep): {dual_raw:.6f}  gap {(distance-dual_raw)/distance:.3e}")
     if solver._dual_polish_fn is None:
         solver._build_dual_polish()
-    p = jnp.asarray(pressure, solver.dtype)
+    p0 = jnp.asarray(pressure, solver.dtype)
+    carry = (p0, p0, solver._dual_polish_z0())
     best = dual_raw
     total = 0
-    for chunk in range(12):
+    for chunk in range(16):
         tic = time.time()
-        p = solver._dual_polish_fn(p, mass_rhs, 1000)
-        total += 1000
-        val = float(solver._dual_value_best(p, mass_rhs))
+        carry = solver._dual_polish_chunk(carry, mass_rhs, 2000)
+        total += 2000
+        val = float(solver._dual_value_best(carry[0], mass_rhs))
         best = max(best, val)
         gap = (distance - best) / distance
         print(
