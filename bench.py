@@ -197,9 +197,11 @@ def measure_public_api(base_u8: np.ndarray) -> dict:
 
     # Batched time-series path: the SAME public objects fed an 8-frame
     # series image — corrections vmap over the time axis (corrections/
-    # base.py) and the concentration pipeline runs vmapped in one
-    # dispatch (concentrationanalysis.py series path), amortizing
-    # per-dispatch overhead across frames (SURVEY §2.12 batched time axis).
+    # base.py; streaming warp, batching amortizes launch overhead) and the
+    # concentration pipeline runs frames under lax.map in one dispatch
+    # (concentrationanalysis.py series path; vmapping would multiply the
+    # restoration sweeps' working set by T and spill the VMEM-resident
+    # smoother to HBM — measured 2x slower per frame).
     T = 8
     series_np = np.stack(
         [np.roll(base_u8, shift=(2 + k, 3), axis=(0, 1)) for k in range(T)],
@@ -222,7 +224,7 @@ def measure_public_api(base_u8: np.ndarray) -> dict:
     series_elapsed = (time.perf_counter() - tic) / series_reps
     series_mpix_s = T * H * W / 1e6 / series_elapsed
 
-    # Full-path series: the fused pipeline's time-major vmapped lane —
+    # Full-path series: the fused pipeline's time-major lax.map lane —
     # correction + registration + concentration for all 8 frames in ONE
     # device dispatch.
     float(np.asarray(pipeline(series_dev).img[0, 0, 0]))
