@@ -41,7 +41,9 @@ import numpy as np
 
 from ..corrections.fuse import _collect_group, fused_chain
 from ..image.image import Image, ScalarImage
+from ..ops.warp import identity_grid, warp, warp_backend
 from ..utils.dtype import convert_dtype
+from .translationanalysis import _to_gray
 
 __all__ = ["FusedAnalysisPipeline"]
 
@@ -70,6 +72,20 @@ class FusedAnalysisPipeline:
             whose pipeline must be traceable (no verbose inspection, no
             host-side restoration).
         max_disp: static displacement bound for the registration warp.
+        single_warp: compose the correction chain's pull-back field with
+            the registration displacement so the WHOLE correct+register
+            path costs ONE full-resolution gather instead of two (the
+            roofline's dominant stage, ``docs/roofline.md`` lever 1).  The
+            registration grayscale comes from a cheap 1-channel warp
+            (grayscale reduction commutes with bilinear resampling), the
+            composed map is evaluated on the coarse TPS grid (both the
+            correction displacement and the TPS field are smooth) and the
+            total displacement is bilinearly upsampled.  Numerics differ
+            from the staged path by ONE fewer interpolation pass — the
+            same order of deviation as the fused correction chain itself
+            (``corrections/fuse.py``), bench-gated in ``bench.py``.
+            Requires a registration plus a trailing fusable correction
+            chain without a dynamic (drift) member.
 
     Call with an :class:`~darsia_tpu.image.Image` (or a raw array of the
     same shape) — returns the concentration image.  Time-series inputs run
@@ -83,6 +99,7 @@ class FusedAnalysisPipeline:
         registration=None,
         analysis=None,
         max_disp: int = 120,
+        single_warp: bool = False,
     ) -> None:
         self.transformations = [
             t for t in (transformations or []) if t is not None and callable(t)
@@ -90,6 +107,7 @@ class FusedAnalysisPipeline:
         self.registration = registration
         self.analysis = analysis
         self.max_disp = int(max_disp)
+        self.single_warp = bool(single_warp)
         self._translation_analysis = _resolve_translation_analysis(registration)
         if registration is not None and self._translation_analysis is None:
             raise ValueError("registration exposes no TranslationAnalysis")
@@ -141,10 +159,37 @@ class FusedAnalysisPipeline:
 
         ta = self._translation_analysis
         aligner_body = None
+        estimate = est_geom = None
+        if self.single_warp:
+            chain = stages[-1][1] if stages and stages[-1][0] == "chain" else None
+            if ta is None or chain is None:
+                raise ValueError(
+                    "single_warp needs a registration plus a trailing "
+                    "fusable geometric correction chain."
+                )
+            if chain._dynamic is not None:
+                raise ValueError(
+                    "single_warp does not support dynamic (drift) members "
+                    "in the trailing chain — estimate drift separately."
+                )
         if ta is not None:
-            aligner_body, reg_ops = ta.fused_aligner_parts(
-                max_disp=self.max_disp
-            )
+            if self.single_warp:
+                estimate, reg_ops, est_geom = ta.fused_estimator_parts(
+                    max_disp=self.max_disp
+                )
+                if tuple(stages[-1][1].out_shape) != (
+                    est_geom["Hs"],
+                    est_geom["Ws"],
+                ):
+                    raise ValueError(
+                        "single_warp: correction output shape does not "
+                        "match the registration base shape."
+                    )
+                operands["coarse_pos"] = ta.coarse_grid_positions(est_geom)
+            else:
+                aligner_body, reg_ops = ta.fused_aligner_parts(
+                    max_disp=self.max_disp
+                )
             operands["reg"] = reg_ops
 
         analysis_fn = None
@@ -162,26 +207,93 @@ class FusedAnalysisPipeline:
             for kind, obj in stages
         ]
 
-        def frame(data, ops):
-            x = data
-            for k, (kind, obj, chain_apply) in enumerate(stage_fns):
-                if kind == "chain":
-                    x = chain_apply(x, ops[f"field_{k}"])
-                else:
-                    x = obj.correct_array(x)
-            # img_as(float32): the staged lane converts the corrected image
-            # before registration/analysis (integer ranges map to [0, 1]).
-            x = convert_dtype(x, np.float32)
-            shifts = quality = None
-            if aligner_body is not None:
-                x, shifts, quality = aligner_body(x, ops["reg"])
-            if analysis_fn is not None:
-                out = (
-                    analysis_fn(x, ops["base"]) if has_base else analysis_fn(x)
+        if estimate is not None:
+            # Single-warp lane: ONE full-resolution gather for the whole
+            # correct+register path (roofline lever 1).  The correction
+            # warp of the trailing chain is replaced by (a) a 1-channel
+            # gray warp feeding phase correlation (gray o warp == warp o
+            # gray for linear interpolation) and (b) a coarse-grid
+            # composition of the chain field with the TPS displacement —
+            # both fields are smooth, so the TOTAL displacement upsamples
+            # exactly like the TPS field alone does in the classic lane.
+            chain = stages[-1][1]
+            k_last = len(stage_fns) - 1
+            Hs, Ws = est_geom["Hs"], est_geom["Ws"]
+            CH, CW = est_geom["CH"], est_geom["CW"]
+            reg_clip = est_geom["clip"]
+            chain_disp = int(chain.max_disp)
+            total_disp_bound = chain_disp + self.max_disp
+
+            def frame(data, ops):
+                x = data
+                for k, (kind, obj, chain_apply) in enumerate(
+                    stage_fns[:k_last]
+                ):
+                    if kind == "chain":
+                        x = chain_apply(x, ops[f"field_{k}"])
+                    else:
+                        x = obj.correct_array(x)
+                # float32 BEFORE the fused warp (the staged lane converts
+                # after the correction warp; the integer re-quantization it
+                # skips is below the gated interpolation tolerance).
+                x = convert_dtype(x, np.float32)
+                field = ops[f"field_{k_last}"]
+                gray_c = warp_backend(
+                    _to_gray(x), field, order=1, max_disp=chain_disp
                 )
-            else:
-                out = x
-            return out, shifts, quality
+                field_c, shifts, quality = estimate(gray_c, ops["reg"])
+                field_c = jnp.clip(field_c, -reg_clip, reg_clip)
+                p_c = ops["coarse_pos"]
+                comp = warp(
+                    jnp.moveaxis(field, 0, -1),
+                    p_c - field_c,
+                    order=1,
+                    mode="nearest",
+                )
+                total_c = jnp.moveaxis(comp, -1, 0) - p_c
+                if (CH, CW) != (Hs, Ws):
+                    total = jax.image.resize(
+                        total_c, (2, Hs, Ws), method="linear"
+                    )
+                else:
+                    total = total_c
+                coords = identity_grid((Hs, Ws)) + total
+                x = warp_backend(
+                    x, coords, order=1, max_disp=total_disp_bound
+                )
+                if analysis_fn is not None:
+                    out = (
+                        analysis_fn(x, ops["base"])
+                        if has_base
+                        else analysis_fn(x)
+                    )
+                else:
+                    out = x
+                return out, shifts, quality
+
+        else:
+
+            def frame(data, ops):
+                x = data
+                for k, (kind, obj, chain_apply) in enumerate(stage_fns):
+                    if kind == "chain":
+                        x = chain_apply(x, ops[f"field_{k}"])
+                    else:
+                        x = obj.correct_array(x)
+                # img_as(float32): the staged lane converts the corrected
+                # image before registration/analysis (integer ranges map to
+                # [0, 1]).
+                x = convert_dtype(x, np.float32)
+                shifts = quality = None
+                if aligner_body is not None:
+                    x, shifts, quality = aligner_body(x, ops["reg"])
+                if analysis_fn is not None:
+                    out = (
+                        analysis_fn(x, ops["base"]) if has_base else analysis_fn(x)
+                    )
+                else:
+                    out = x
+                return out, shifts, quality
 
         if series:
 

@@ -577,19 +577,27 @@ class TranslationAnalysis:
         }
         return {"operands": operands, "geom": geom}
 
-    def _fused_aligner_parts(self, max_disp: int = 120):
+    def fused_estimator_parts(self, max_disp: int = 120):
+        """Coarse-grid displacement estimator of the fused lane.
+
+        Returns ``(estimate, operands, geom)`` where ``estimate(gray, ops)
+        -> (field_c, shifts, quality)`` maps the CORRECTED grayscale frame
+        to the UNclipped (2, CH, CW) displacement on the coarse TPS
+        evaluation grid (row, col components).  ``geom`` carries the grid
+        geometry — callers either upsample + warp (the classic fused
+        aligner) or compose ``field_c`` with a correction pull-back field
+        so the whole correct+register path costs ONE full-resolution
+        gather (the single-warp lane, ``FusedAnalysisPipeline``).
+        """
         setup = self._fused_aligner_setup(max_disp=max_disp)
         operands, geom = setup["operands"], setup["geom"]
         win = geom["win"]
-        Hs, Ws = geom["Hs"], geom["Ws"]
         CH, CW = geom["CH"], geom["CW"]
         pad_x, pad_y = geom["pad_x"], geom["pad_y"]
         tol = geom["tol"]
-        clip = geom["clip"]
         extract = self._extract_windows
 
-        def aligner_impl(data, ops):
-            gray = _to_gray(data)
+        def estimate(gray, ops):
             windows = extract(gray, ops["centers"], win)
             shifts, quality = jax.vmap(
                 lambda f, w: phase_correlation_prepared(f, w, win)
@@ -601,6 +609,37 @@ class TranslationAnalysis:
             dx = (ops["E_x"] @ (ops["Ainv_x"] @ vx)).reshape(CH, CW)
             dy = (ops["E_y"] @ (ops["Ainv_y"] @ vy)).reshape(CH, CW)
             field = jnp.stack([dy, dx], axis=0).astype(jnp.float32)
+            return field, shifts, quality
+
+        return estimate, operands, geom
+
+    def coarse_grid_positions(self, geom) -> jnp.ndarray:
+        """(2, CH, CW) row/col positions of the coarse TPS evaluation grid.
+
+        Cell-center convention matching ``jax.image.resize(method="linear")``
+        (see :meth:`displacement_field`) so composing consumers sample the
+        field exactly where :meth:`fused_estimator_parts` evaluated it.
+        """
+        Hs, Ws = geom["Hs"], geom["Ws"]
+        CH, CW = geom["CH"], geom["CW"]
+        if (CH, CW) != (Hs, Ws):
+            r_pos = (jnp.arange(CH, dtype=jnp.float32) + 0.5) * (Hs / CH) - 0.5
+            c_pos = (jnp.arange(CW, dtype=jnp.float32) + 0.5) * (Ws / CW) - 0.5
+        else:
+            r_pos = jnp.arange(Hs, dtype=jnp.float32)
+            c_pos = jnp.arange(Ws, dtype=jnp.float32)
+        rr, cc = jnp.meshgrid(r_pos, c_pos, indexing="ij")
+        return jnp.stack([rr, cc], axis=0)
+
+    def _fused_aligner_parts(self, max_disp: int = 120):
+        estimate, operands, geom = self.fused_estimator_parts(max_disp=max_disp)
+        Hs, Ws = geom["Hs"], geom["Ws"]
+        CH, CW = geom["CH"], geom["CW"]
+        clip = geom["clip"]
+
+        def aligner_impl(data, ops):
+            gray = _to_gray(data)
+            field, shifts, quality = estimate(gray, ops)
             if (CH, CW) != (Hs, Ws):
                 field = jax.image.resize(field, (2, Hs, Ws), method="linear")
             field = jnp.clip(field, -clip, clip)

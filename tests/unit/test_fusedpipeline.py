@@ -154,6 +154,83 @@ class TestFusedFullPath:
             assert float((d > 1e-3).mean()) <= 5e-3
             assert float(d.max()) <= 8e-3
 
+    def test_single_warp_lane(self):
+        """single_warp=True: correct+register in ONE gather, same alignment.
+
+        The composed lane differs from the classic fused lane by exactly
+        one interpolation pass (docs/roofline.md lever 1), so outputs agree
+        to interpolation tolerance AND — the actual fidelity criterion —
+        the single-warp registered frame is as close to the base as the
+        two-warp one.
+        """
+        base_u8, trans, curv, meta, base_img, analysis = _scene()
+        probe = np.roll(base_u8, shift=(1, 2), axis=(0, 1))
+
+        def make_reg():
+            return da.ImageRegistration(
+                base_img, N_patches=[2, 2], rel_overlap=0.2, quality_tol=0.01
+            )
+
+        pipe_ref = da.FusedAnalysisPipeline(
+            transformations=[trans, curv], registration=make_reg()
+        )
+        pipe_1w = da.FusedAnalysisPipeline(
+            transformations=[trans, curv],
+            registration=make_reg(),
+            single_warp=True,
+        )
+        out_ref = np.asarray(pipe_ref(da.OpticalImage(probe, **meta)).img)
+        out_1w = np.asarray(pipe_1w(da.OpticalImage(probe, **meta)).img)
+        assert out_ref.shape == out_1w.shape
+        inner = (slice(6, -6), slice(6, -6))
+        # Interpolation-level agreement (measured mean 1.0e-2 on this
+        # high-frequency random texture; real lab imagery is far smoother).
+        assert np.abs(out_ref[inner] - out_1w[inner]).mean() < 3e-2
+        # Alignment fidelity: one interpolation pass cannot align WORSE.
+        base_arr = np.asarray(base_img.img)
+        resid_ref = np.abs(out_ref[inner] - base_arr[inner]).mean()
+        resid_1w = np.abs(out_1w[inner] - base_arr[inner]).mean()
+        assert resid_1w < 1.2 * resid_ref + 1e-3
+
+        # Full path with concentration analysis agrees at signal level.
+        pipe_ref_c = da.FusedAnalysisPipeline(
+            transformations=[trans, curv],
+            registration=make_reg(),
+            analysis=analysis,
+        )
+        pipe_1w_c = da.FusedAnalysisPipeline(
+            transformations=[trans, curv],
+            registration=make_reg(),
+            analysis=analysis,
+            single_warp=True,
+        )
+        conc_ref = np.asarray(pipe_ref_c(da.OpticalImage(probe, **meta)).img)
+        conc_1w = np.asarray(pipe_1w_c(da.OpticalImage(probe, **meta)).img)
+        assert np.abs(conc_ref[inner] - conc_1w[inner]).mean() < 1.5e-2
+
+        # Series lane reproduces the per-frame program.
+        T = 3
+        series = np.stack(
+            [np.roll(base_u8, shift=(1 + k, 2), axis=(0, 1)) for k in range(T)],
+            axis=2,
+        )
+        arr = np.asarray(
+            pipe_1w_c(da.OpticalImage(series, series=True, **meta)).img
+        )
+        single0 = np.asarray(
+            pipe_1w_c(da.OpticalImage(series[:, :, 0], **meta)).img
+        )
+        assert np.abs(arr[..., 0] - single0).mean() < 1e-5
+
+    def test_single_warp_requires_registration_and_chain(self):
+        base_u8, trans, curv, meta, base_img, analysis = _scene(seed=11)
+        probe = np.roll(base_u8, shift=(1, 1), axis=(0, 1))
+        pipe = da.FusedAnalysisPipeline(
+            transformations=[trans, curv], single_warp=True
+        )
+        with pytest.raises(ValueError, match="single_warp"):
+            pipe(da.OpticalImage(probe, **meta))
+
     def test_retraces_on_model_update(self):
         base_u8, trans, curv, meta, base_img, analysis = _scene(seed=9)
         probe = np.roll(base_u8, shift=(1, 2), axis=(0, 1))
