@@ -1,8 +1,12 @@
 """Roofline measurement of the headline per-frame pipeline (docs/roofline.md).
 
-Times truncated prefixes of the EXACT headline `step` program from bench.py
-on the real TPU (same setup, same shapes); successive differences attribute
-the 4K frame time to stages.  Alongside, measures the in-situ HBM bandwidth
+Times truncated prefixes of the classic TWO-WARP `step` program (the
+headline lane through round 4; bench.py's `make_step(one_warp=False)`) on
+the real TPU (same setup, same shapes); successive differences attribute
+the 4K frame time to stages.  The round-5 one-warp headline lane replaces
+the two gather passes this breakdown identified as 64% of the frame with
+one (docs/roofline.md lever 1); its stages are a strict subset, so the
+two-warp attribution remains the informative one.  Alongside, measures the in-situ HBM bandwidth
 ceiling with a pure streaming program (y = x * a on a 256 MB array), so each
 stage's bytes-moved model can be read as a fraction of what THIS chip (and
 tunnel) actually sustains — the number that decides "optimize further or
