@@ -32,7 +32,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["warp_rows_pallas", "warp_two_pass"]
+__all__ = [
+    "warp_rows_pallas",
+    "warp_rows_pallas_t",
+    "warp_two_pass",
+    "warp_two_pass_planar",
+]
 
 _BR = 512  # rows per tile (measured fastest on v5e: 512 beats 128/256 by ~6%)
 _BC = 128  # output columns per tile == lane width
@@ -73,8 +78,59 @@ def _row_warp_kernel(
     out_ref[:] = v0 + frac * (v1 - v0)
 
 
+def _row_warp_ring_kernel(
+    cols_ref, data_ref, out_ref, scratch_ref, *, num_windows: int, pad: int, w_in: int
+):
+    """Ring-buffer schedule of :func:`_row_warp_kernel` (identical math).
+
+    The naive schedule fetches ``num_windows`` input blocks per output tile,
+    but adjacent output tiles share all-but-one window.  Here the grid runs
+    ``num_windows - 1`` extra prologue steps per row tile, each step DMAs
+    exactly ONE new input block into a VMEM ring buffer, and the gather
+    reads the ring — input HBM traffic drops from ``num_windows``x to 1x
+    amortized.  Output blocks during prologue steps map to tile 0 and are
+    only written (and hence only flushed) once the ring is full.
+    """
+    s = pl.program_id(1)
+    slot = lax.rem(s, num_windows)
+    for p in range(num_windows):
+
+        @pl.when(slot == p)
+        def _(p=p):
+            scratch_ref[p] = data_ref[:]
+
+    @pl.when(s >= num_windows - 1)
+    def _():
+        j = s - (num_windows - 1)
+        tile_start = (j * _BC).astype(jnp.float32)
+        cols_cl = jnp.clip(cols_ref[:], 0.0, float(w_in - 1))
+        rel_f = cols_cl + (float(pad) - tile_start)
+        base = jnp.floor(rel_f)
+        frac = (rel_f - base).astype(jnp.float32)
+        rel = jnp.clip(base, 0, num_windows * _BC - 2).astype(jnp.int32)
+        # Padded block (j + w) was fetched at step j + w, i.e. lives in ring
+        # slot (j + w) % num_windows; slot p therefore holds logical window
+        # (p - j) mod num_windows.
+        jmod = lax.rem(j, num_windows)
+
+        def chain_gather(rel_idx):
+            acc = jnp.zeros(rel_idx.shape, dtype=jnp.float32)
+            window_id = rel_idx // _BC
+            local = rel_idx - window_id * _BC
+            local = jnp.clip(local, 0, _BC - 1)
+            for p in range(num_windows):
+                w_logical = lax.rem(p - jmod + num_windows, num_windows)
+                g = jnp.take_along_axis(scratch_ref[p], local, axis=1)
+                acc = jnp.where(window_id == w_logical, g, acc)
+            return acc
+
+        v0 = chain_gather(rel)
+        v1 = chain_gather(rel + 1)
+        out_ref[:] = v0 + frac * (v1 - v0)
+
+
 def warp_rows_pallas(
-    data: jnp.ndarray, cols: jnp.ndarray, max_disp: int
+    data: jnp.ndarray, cols: jnp.ndarray, max_disp: int, ring: bool = False
 ) -> jnp.ndarray:
     """Resample along the last axis: out[r, j] = data[r, cols[r, j]].
 
@@ -84,6 +140,13 @@ def warp_rows_pallas(
             |cols[r, j] - j| <= max_disp (output and input column frames
             aligned at index 0).
         max_disp: static displacement bound.
+        ring: use the ring-buffer schedule (1x input DMA amortized instead
+            of ``num_windows``x; bitwise-identical output).  Measured on
+            the production 4K warp (v5e, D=30 and D=120): NO speedup —
+            the pipeline already hides the window DMAs behind the VPU
+            gathers, so the kernel is compute-/glue-bound, not
+            fetch-bound.  Kept off by default; the win that did land is
+            :func:`warp_rows_pallas_t`'s transposed-output 3-D schedule.
 
     """
     R, W_in = data.shape
@@ -111,6 +174,35 @@ def warp_rows_pallas(
 
     cols_p = jnp.pad(cols, ((0, R_pad - R), (0, Wo_pad - W_out)), mode="edge")
 
+    # Interpret mode on non-TPU backends (tests on the CPU mesh).
+    interpret = jax.default_backend() != "tpu"
+
+    if ring:
+        # One prologue step per row tile fills the VMEM ring; thereafter each
+        # step DMAs exactly one fresh input window.  Consecutive prologue
+        # steps map cols/out to the same block index, so the pipeline fetches
+        # cols once and flushes the output only after the real write.
+        nw = num_windows
+        steps = num_tiles + nw - 1
+        out_idx = lambda i, s: (i, jnp.clip(s - (nw - 1), 0, num_tiles - 1))
+        out = pl.pallas_call(
+            functools.partial(
+                _row_warp_ring_kernel, num_windows=nw, pad=P, w_in=W_in
+            ),
+            out_shape=jax.ShapeDtypeStruct((R_pad, Wo_pad), jnp.float32),
+            grid=(R_pad // _BR, steps),
+            in_specs=[
+                pl.BlockSpec((_BR, _BC), out_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (_BR, _BC), lambda i, s: (i, s), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec((_BR, _BC), out_idx, memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((nw, _BR, _BC), jnp.float32)],
+            interpret=interpret,
+        )(cols_p, padded)
+        return out[:R, :W_out]
+
     in_specs = [
         pl.BlockSpec((_BR, _BC), lambda i, j: (i, j), memory_space=pltpu.VMEM),
     ]
@@ -123,8 +215,6 @@ def warp_rows_pallas(
             )
         )
 
-    # Interpret mode on non-TPU backends (tests on the CPU mesh).
-    interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         functools.partial(
             _row_warp_kernel, num_windows=num_windows, pad=P, w_in=W_in
@@ -138,6 +228,111 @@ def warp_rows_pallas(
         interpret=interpret,
     )(cols_p, *([padded] * num_windows))
     return out[:R, :W_out]
+
+
+def _row_warp_t_kernel(cols_ref, *refs, num_windows: int, pad: int, w_in: int):
+    """Channel-batched row warp writing its output tile TRANSPOSED.
+
+    Same gather math as :func:`_row_warp_kernel`, two structural changes
+    (measured 5.06 -> 3.25 ms on the production 3-channel 4K two-pass,
+    bitwise-identical output):
+
+    * 3-D grid ``(row_tile, col_tile, channel)`` with channel minor: the
+      cols block index ignores the channel coordinate, so the pipeline
+      fetches each cols tile ONCE per (i, j) instead of per channel, and
+      the (C*H, W) ``jnp.tile`` materialization of the coordinate field
+      disappears entirely.
+    * The output tile is transposed in VMEM (``out.T``, a register
+      shuffle) and written to a (C, W_out, R) array — which is exactly
+      the layout the second pass gathers from, so the two full-size HBM
+      transposes between/after the passes vanish.
+    """
+    win_refs = refs[:num_windows]
+    out_ref = refs[num_windows]
+    tile_start = (pl.program_id(1) * _BC).astype(jnp.float32)
+    cols_cl = jnp.clip(cols_ref[0], 0.0, float(w_in - 1))
+    rel_f = cols_cl + (float(pad) - tile_start)
+    base = jnp.floor(rel_f)
+    frac = (rel_f - base).astype(jnp.float32)
+    rel = jnp.clip(base, 0, num_windows * _BC - 2).astype(jnp.int32)
+
+    def chain_gather(rel_idx):
+        acc = jnp.zeros(rel_idx.shape, dtype=jnp.float32)
+        window_id = rel_idx // _BC
+        local = rel_idx - window_id * _BC
+        local = jnp.clip(local, 0, _BC - 1)
+        for w in range(num_windows):
+            g = jnp.take_along_axis(win_refs[w][0], local, axis=1)
+            acc = jnp.where(window_id == w, g, acc)
+        return acc
+
+    v0 = chain_gather(rel)
+    v1 = chain_gather(rel + 1)
+    out_ref[0] = (v0 + frac * (v1 - v0)).T
+
+
+def warp_rows_pallas_t(
+    data: jnp.ndarray, cols: jnp.ndarray, max_disp: int
+) -> jnp.ndarray:
+    """Channel-batched row resample with transposed output.
+
+    Args:
+        data: (C, R, W_in) float32.
+        cols: (R, W_out) fractional column positions shared by all
+            channels, |cols[r, j] - j| <= max_disp.
+        max_disp: static displacement bound.
+
+    Returns:
+        (C, W_out, R): ``out[c, j, r] = data[c, r, cols[r, j]]``.
+
+    """
+    C, R, W_in = data.shape
+    W_out = cols.shape[1]
+    assert cols.shape[0] == R, "data and cols must agree on rows"
+    D = int(np.ceil(max_disp)) + 1
+    P = D
+    num_windows = -(-(2 * D + _BC + 1) // _BC)
+
+    R_pad = -(-R // _BR) * _BR
+    Wo_pad = -(-W_out // _BC) * _BC
+    num_tiles = Wo_pad // _BC
+
+    right = (num_tiles - 1 + num_windows) * _BC - P - W_in
+    padded = jnp.pad(
+        data, ((0, 0), (0, R_pad - R), (P, max(right, 0))), mode="edge"
+    )
+    cols_p = jnp.pad(
+        cols, ((0, R_pad - R), (0, Wo_pad - W_out)), mode="edge"
+    )[None]
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, _BR, _BC), lambda i, j, c: (0, i, j), memory_space=pltpu.VMEM
+        ),
+    ]
+    for w in range(num_windows):
+        in_specs.append(
+            pl.BlockSpec(
+                (1, _BR, _BC),
+                functools.partial(lambda i, j, c, w=w: (c, i, j + w)),
+                memory_space=pltpu.VMEM,
+            )
+        )
+
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(
+            _row_warp_t_kernel, num_windows=num_windows, pad=P, w_in=W_in
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, Wo_pad, R_pad), jnp.float32),
+        grid=(R_pad // _BR, num_tiles, C),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, _BC, _BR), lambda i, j, c: (c, j, i), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(cols_p, *([padded] * num_windows))
+    return out[:, :W_out, :R]
 
 
 def warp_two_pass(
@@ -157,26 +352,7 @@ def warp_two_pass(
     squeeze = data.ndim == 2
     if squeeze:
         data = data[..., None]
-    H, W, C = data.shape
-    OH, OW = coords.shape[1:]
-
-    # Pass 1: columns, on INPUT rows. The column field is indexed by output
-    # rows; re-index by (clamped) input rows — exact when OH == H, a
-    # smoothness-order approximation otherwise (Catmull-Smith).
-    cols_field = coords[1]
-    if OH != H:
-        row_ids = jnp.clip(jnp.arange(H), 0, OH - 1)
-        cols_field = cols_field[row_ids]
-    planar = jnp.moveaxis(data, -1, 0).reshape(C * H, W)
-    cols_rep = jnp.tile(cols_field, (C, 1))
-    tmp = warp_rows_pallas(planar, cols_rep, max_disp)  # (C*H, OW)
-
-    # Pass 2: rows. Transpose to gather along the minor axis again.
-    tmp_t = jnp.swapaxes(tmp.reshape(C, H, OW), 1, 2).reshape(C * OW, H)
-    rows_rep = jnp.tile(jnp.swapaxes(coords[0], 0, 1), (C, 1))  # (C*OW, OH)
-    out_t = warp_rows_pallas(tmp_t, rows_rep, max_disp)  # (C*OW, OH)
-
-    out = jnp.swapaxes(out_t.reshape(C, OW, OH), 1, 2)
+    out = warp_two_pass_planar(jnp.moveaxis(data, -1, 0), coords, max_disp)
     out = jnp.moveaxis(out, 0, -1)
     return out[..., 0] if squeeze else out
 
@@ -184,12 +360,16 @@ def warp_two_pass(
 def warp_two_pass_planar(
     data: jnp.ndarray, coords: jnp.ndarray, max_disp: int
 ) -> jnp.ndarray:
-    """Planar-layout (C, H, W) variant of :func:`warp_two_pass`.
+    """Planar-layout (C, H, W) two-pass warp (the layout pipelines keep).
 
-    On TPU the channels-last layout puts C=3 in the 128-lane minor axis,
-    padding every elementwise op ~42x; pipelines that keep images planar
-    skip the moveaxis round trips entirely (the two-pass kernel is planar
-    internally anyway).
+    Pass 1 gathers columns on input rows and emits its result transposed
+    (C, OW, H) straight from VMEM; pass 2 gathers the original row field
+    along the now-minor H axis and emits (C, OH, OW) — no XLA transpose
+    or coordinate-field tiling in between (see :func:`_row_warp_t_kernel`).
+
+    The column field is indexed by output rows; re-index by (clamped)
+    input rows — exact when OH == H, a smoothness-order approximation
+    otherwise (Catmull-Smith).
     """
     C, H, W = data.shape
     OH, OW = coords.shape[1:]
@@ -197,10 +377,7 @@ def warp_two_pass_planar(
     if OH != H:
         row_ids = jnp.clip(jnp.arange(H), 0, OH - 1)
         cols_field = cols_field[row_ids]
-    planar = data.reshape(C * H, W)
-    cols_rep = jnp.tile(cols_field, (C, 1))
-    tmp = warp_rows_pallas(planar, cols_rep, max_disp)  # (C*H, OW)
-    tmp_t = jnp.swapaxes(tmp.reshape(C, H, OW), 1, 2).reshape(C * OW, H)
-    rows_rep = jnp.tile(jnp.swapaxes(coords[0], 0, 1), (C, 1))
-    out_t = warp_rows_pallas(tmp_t, rows_rep, max_disp)  # (C*OW, OH)
-    return jnp.swapaxes(out_t.reshape(C, OW, OH), 1, 2)
+    tmp_t = warp_rows_pallas_t(data, cols_field, max_disp)  # (C, OW, H)
+    rows_field = jnp.swapaxes(coords[0], 0, 1)  # (OW, OH)
+    out = warp_rows_pallas_t(tmp_t, rows_field, max_disp)  # (C, OH, OW)
+    return out

@@ -140,3 +140,40 @@ def test_planar_variant_matches_channels_last():
         warp_two_pass_planar(jnp.moveaxis(img, -1, 0), grid, 4)
     )
     assert np.allclose(hwc, np.moveaxis(chw, 0, -1), atol=1e-6)
+
+
+def test_row_warp_schedules_bitwise_equal():
+    """ring / transposed-3D schedules == the reference schedule, bitwise.
+
+    All three run the identical gather math (same ops, same order); the
+    variants only change the pipeline schedule, so equality is exact —
+    verified bitwise on the real TPU at production 4K scale too (see
+    docs/roofline.md lever 2).
+    """
+    import jax.numpy as jnp
+
+    from darsia_tpu.ops.pallas.warp2pass import (
+        warp_rows_pallas,
+        warp_rows_pallas_t,
+    )
+
+    rng = np.random.default_rng(7)
+    for R, W, D in [(64, 300, 7), (130, 515, 40), (96, 257, 121)]:
+        data = rng.standard_normal((3, R, W)).astype(np.float32)
+        jj = np.broadcast_to(np.arange(W, dtype=np.float32), (R, W))
+        cols = jnp.asarray((jj + rng.uniform(-D, D, (R, W))).astype(np.float32))
+        ref = np.stack(
+            [
+                np.asarray(warp_rows_pallas(jnp.asarray(d), cols, D, ring=False))
+                for d in data
+            ]
+        )
+        ring = np.stack(
+            [
+                np.asarray(warp_rows_pallas(jnp.asarray(d), cols, D, ring=True))
+                for d in data
+            ]
+        )
+        t_out = np.asarray(warp_rows_pallas_t(jnp.asarray(data), cols, D))
+        assert np.array_equal(ref, ring)
+        assert np.array_equal(ref, np.swapaxes(t_out, 1, 2))
